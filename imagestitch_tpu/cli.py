@@ -1,0 +1,106 @@
+"""Command-line driver.
+
+Replaces the reference's hardcoded ``Main.py`` (reference: Main.py:4-51,
+which mutates class attributes and hardcodes Windows paths) with a real CLI
+over the frozen StitchConfig.
+
+Examples (reproducing the reference's six demo runs, Main.py:17-51):
+
+  python -m imagestitch_tpu.cli stitch demoImages/iron out/iron \\
+      --registration feature_incre --direction 1 --direct-incre 0
+  python -m imagestitch_tpu.cli stitch demoImages/dendriticCrystal out/dc \\
+      --registration feature_incre --direction 1 --direct-incre 1
+  python -m imagestitch_tpu.cli stitch demoImages/zirconBSE out/bse \\
+      --registration feature --direction 4 --direct-incre 0
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import EnhanceConfig, FeatureConfig, StitchConfig
+from .core.stitcher import Stitcher
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="imagestitch_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("stitch", help="stitch project sub-directories")
+    s.add_argument("project", help="project directory (contains 1/, 2/, ...)")
+    s.add_argument("output", help="output directory")
+    s.add_argument("--file-num", type=int, default=1,
+                   help="number of numbered sub-projects")
+    s.add_argument("--start-num", type=int, default=1)
+    s.add_argument("--file-extension", default="jpg")
+    s.add_argument("--output-extension", default="jpg")
+    s.add_argument("--registration", default="feature_incre",
+                   choices=["feature_incre", "feature", "phase_incre", "phase"])
+    s.add_argument("--feature-method", default="surf",
+                   choices=["surf", "sift", "orb"])
+    s.add_argument("--offset-calculate", default="mode",
+                   choices=["mode", "ransac"])
+    s.add_argument("--offset-evaluate", type=int, default=3)
+    s.add_argument("--roi-ratio", type=float, default=0.2)
+    s.add_argument("--search-ratio", type=float, default=0.75)
+    s.add_argument("--direction", type=int, default=1, choices=[1, 2, 3, 4])
+    s.add_argument("--direct-incre", type=int, default=1, choices=[-1, 0, 1])
+    s.add_argument("--fuse-method", default="fadeInAndFadeOut",
+                   choices=["notFuse", "average", "maximum", "minimum",
+                            "fadeInAndFadeOut", "trigonometric",
+                            "multiBandBlending", "optimalSeamLine"])
+    s.add_argument("--gray", action="store_true",
+                   help="compose grayscale (default: color)")
+    s.add_argument("--enhance", action="store_true")
+    s.add_argument("--clahe", action="store_true")
+    s.add_argument("--clip-limit", type=float, default=20.0)
+    s.add_argument("--tile-size", type=int, default=5)
+    s.add_argument("--max-keypoints", type=int, default=1024)
+    s.add_argument("--hessian-threshold", type=float, default=100.0)
+    s.add_argument("--phase-response-threshold", type=float, default=0.15)
+    s.add_argument("--report", help="write per-pair JSON report here")
+    s.add_argument("--quiet", action="store_true")
+    return p
+
+
+def config_from_args(args) -> StitchConfig:
+    return StitchConfig(
+        registration=args.registration,
+        offset_calculate=args.offset_calculate,
+        offset_evaluate=args.offset_evaluate,
+        roi_ratio=args.roi_ratio,
+        phase_response_threshold=args.phase_response_threshold,
+        direction=args.direction,
+        direct_incre=args.direct_incre,
+        color_mode=not args.gray,
+        fuse_method=args.fuse_method,
+        features=FeatureConfig(method=args.feature_method,
+                               max_keypoints=args.max_keypoints,
+                               search_ratio=args.search_ratio,
+                               hessian_threshold=args.hessian_threshold),
+        enhance=EnhanceConfig(enabled=args.enhance, use_clahe=args.clahe,
+                              clip_limit=args.clip_limit,
+                              tile_size=args.tile_size),
+        print_log=not args.quiet,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "stitch":
+        cfg = config_from_args(args)
+        st = Stitcher(cfg)
+        written = st.stitch_project_set(
+            args.project, args.output, args.file_num,
+            start_num=args.start_num, file_extension=args.file_extension,
+            output_extension=args.output_extension)
+        if not args.quiet:
+            for w in written:
+                print(f"wrote {w}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Sequence/dataset stitching orchestration.
+
+TPU-native rebuild of the reference's L3/L4 layers:
+  * ``stitch_sequence``      — flowStitch (reference Stitcher.py:49-94)
+  * ``stitch_sequence_multi``— flowStitchWithMutiple (Stitcher.py:96-127)
+  * ``stitch_project_set``   — imageSetStitch(WithMutiple) (Stitcher.py:129-182)
+
+Key structural change: registration of ALL pairs happens up front in batched
+device dispatches (core/registration.py); segmentation on failure is then a
+pure host-side split of the per-pair records — semantically identical to the
+reference's restart-the-loop-after-a-break behavior, because each pair's
+registration outcome is independent of the segment structure (the feature
+cache only short-circuits recomputation, never changes results; see
+register_sequence_features for the cache-parity discussion).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import StitchConfig
+from ..io import codec, dataset
+from ..utils.records import SequenceReport
+from . import compose as compose_mod
+from . import registration
+
+
+@dataclasses.dataclass
+class StitchResult:
+    """One stitched segment + its provenance."""
+    image: np.ndarray                      # uint8 panorama (or single image)
+    file_range: Tuple[int, int]            # [start, end) indices into the file list
+    offsets: List[Tuple[int, int]]         # pairwise offsets inside the segment
+    report: Optional[SequenceReport] = None
+
+
+class Stitcher:
+    """The engine facade. Construct once per configuration; stateless across
+    calls except for the persisted search direction (reference parity:
+    Stitcher.direction is a class attribute surviving across datasets,
+    Stitcher.py:361 / Main.py:17-47)."""
+
+    def __init__(self, cfg: StitchConfig):
+        self.cfg = cfg
+        self._direction = cfg.direction
+
+    # -- registration ------------------------------------------------------
+
+    def register(self, gray: np.ndarray) -> List[registration.PairRegistration]:
+        """Register all adjacent pairs of a grayscale batch."""
+        cfg = self.cfg.replace(direction=self._direction)
+        if self.cfg.registration == "phase_incre":
+            recs = registration.register_sequence_phase(gray, cfg)
+        elif self.cfg.registration == "phase":
+            recs = registration.register_sequence_phase_whole(gray, cfg)
+        elif self.cfg.registration == "feature_incre":
+            recs = registration.register_sequence_features_incre(gray, cfg)
+        elif self.cfg.registration == "feature":
+            recs = registration.register_sequence_features(gray, cfg)
+        else:
+            raise ValueError(self.cfg.registration)
+        # persist the last successful direction across sequences
+        for r in reversed(recs):
+            if r.ok and r.direction:
+                self._direction = r.direction
+                break
+        return recs
+
+    # -- sequence stitching ------------------------------------------------
+
+    def stitch_batch(self, batch: dataset.ImageBatch) -> List[StitchResult]:
+        """flowStitchWithMutiple semantics on a decoded batch.
+
+        Returns one StitchResult per stitchable segment; a trailing lone image
+        is returned as-is (reference Stitcher.py:119-125).
+        """
+        t0 = time.time()
+        recs = self.register(batch.gray)
+        t_reg = time.time() - t0
+        compose_src = batch.color if self.cfg.color_mode else batch.gray
+        n = batch.num_images
+
+        results: List[StitchResult] = []
+        t0 = time.time()
+        start = 0
+        while start < n:
+            # extend the segment while pairs register
+            end = start
+            seg_offsets: List[Tuple[int, int]] = []
+            while end < n - 1 and recs[end].ok:
+                seg_offsets.append(recs[end].offset)
+                end += 1
+            seg_images = compose_src[start:end + 1]
+            if end == start:
+                results.append(StitchResult(image=np.asarray(seg_images[0]),
+                                            file_range=(start, start + 1),
+                                            offsets=[]))
+            else:
+                img = compose_mod.compose(seg_images, seg_offsets, self.cfg)
+                results.append(StitchResult(image=img,
+                                            file_range=(start, end + 1),
+                                            offsets=seg_offsets))
+            start = end + 1
+        t_fuse = time.time() - t0
+        report = SequenceReport.from_records(recs, t_register=t_reg, t_compose=t_fuse)
+        for r in results:
+            r.report = report
+        return results
+
+    def stitch_files(self, files: Sequence[str]) -> List[StitchResult]:
+        batch = dataset.load_batch(files, self.cfg.color_mode)
+        return self.stitch_batch(batch)
+
+    # -- dataset orchestration (L4) ----------------------------------------
+
+    def stitch_project_set(self, project_address: str, output_address: str,
+                           file_num: int, start_num: int = 1,
+                           file_extension: str = "jpg",
+                           output_extension: str = "jpg") -> List[str]:
+        """imageSetStitchWithMutiple semantics (Stitcher.py:153-182) with
+        portable paths.  Returns the written output files."""
+        written: List[str] = []
+        for i in range(start_num, file_num + 1):
+            t0 = time.time()
+            files = dataset.list_project_images(project_address, i, file_extension)
+            if not files:
+                print(f"warning: no *.{file_extension} files under "
+                      f"{os.path.join(project_address, str(i))}; skipping")
+                continue
+            results = self.stitch_files(files)
+            os.makedirs(output_address, exist_ok=True)
+            if len(results) == 1:
+                out = os.path.join(output_address,
+                                   f"stitching_result_{i}.{output_extension}")
+                codec.imwrite(out, results[0].image)
+                written.append(out)
+            else:
+                for j, res in enumerate(results):
+                    out = os.path.join(
+                        output_address,
+                        f"stitching_result_{i}_{j + 1}.{output_extension}")
+                    codec.imwrite(out, res.image)
+                    written.append(out)
+            if self.cfg.print_log:
+                print(f"Time consuming for {project_address}/{i}: "
+                      f"{time.time() - t0:.3f}s")
+        return written

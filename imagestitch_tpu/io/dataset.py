@@ -1,0 +1,84 @@
+"""Dataset discovery and batched loading.
+
+Replaces the reference's per-project glob loop (reference: Stitcher.py:129-182,
+which hardcodes Windows ``"\\"`` separators) with portable paths, and replaces
+its one-image-at-a-time decode inside the hot loop (Stitcher.py:68-69,
+:400-403) with a single host-side batch decode whose result is shipped to the
+device **once** as a ``(N, H, W[, C])`` uint8 array.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from . import codec
+
+
+def list_project_images(project_address: str, sub_project: int,
+                        file_extension: str = "jpg") -> List[str]:
+    """Files of numbered sub-project ``sub_project`` (reference Stitcher.py:167-168).
+
+    Sorted for determinism (glob order is fs-dependent; the demo sets use
+    zero-padded names so lexicographic == capture order).
+    """
+    pattern = os.path.join(project_address, str(sub_project), f"*.{file_extension}")
+    return sorted(glob.glob(pattern))
+
+
+@dataclass
+class ImageBatch:
+    """A decoded dataset resident as one dense batch.
+
+    gray:  (N, H, W)    uint8 — registration always runs on grayscale
+                        (reference parity: Stitcher.py:68-69).
+    color: (N, H, W, 3) uint8 BGR, or None in gray mode — composition input
+                        (reference parity: Stitcher.py:381-384).
+    files: source paths, capture order.
+    """
+    gray: np.ndarray
+    color: Optional[np.ndarray]
+    files: List[str]
+
+    @property
+    def num_images(self) -> int:
+        return self.gray.shape[0]
+
+    @property
+    def image_shape(self):
+        return self.gray.shape[1:3]
+
+
+def load_batch(files: Sequence[str], color_mode: bool,
+               loader=None) -> ImageBatch:
+    """Decode ``files`` into one contiguous batch.
+
+    All images of a micrograph sequence share one sensor geometry; mixed
+    shapes are rejected (the reference would silently misbehave).
+    ``loader`` may supply a native prefetching reader (native/ runtime).
+    """
+    if not files:
+        raise ValueError("empty file list")
+    grays: List[np.ndarray] = []
+    colors: List[np.ndarray] = []
+    if loader is not None:
+        decoded = loader.read_all(files, color_mode)
+    else:
+        decoded = [codec.imread(f, color_mode) for f in files]
+    for f, img in zip(files, decoded):
+        if color_mode:
+            colors.append(img)
+            grays.append(codec.to_gray(img))
+        else:
+            grays.append(img)
+    shape0 = grays[0].shape
+    for f, g in zip(files, grays):
+        if g.shape != shape0:
+            raise ValueError(
+                f"inconsistent image shapes in sequence: {files[0]}={shape0} vs {f}={g.shape}")
+    gray = np.stack(grays)
+    color = np.stack(colors) if color_mode else None
+    return ImageBatch(gray=gray, color=color, files=list(files))

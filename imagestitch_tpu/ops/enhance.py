@@ -1,0 +1,103 @@
+"""Contrast enhancement: histogram equalization and CLAHE.
+
+TPU-native replacements for the reference's optional preprocessing
+(reference: Stitcher.py:269-276, :327-334 — cv2.equalizeHist /
+cv2.createCLAHE with clipLimit/tileGridSize from ImageUtility.py:47-50).
+
+Histograms are built with one-hot matmuls (MXU-friendly, no scatter storms);
+CLAHE interpolates per-tile LUTs bilinearly, matching OpenCV's scheme (clip,
+uniform redistribution, half-tile-centered interpolation grid).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _histogram256(x: jnp.ndarray) -> jnp.ndarray:
+    """(N,) uint8 values -> (256,) counts via one-hot contraction."""
+    oh = jax.nn.one_hot(x.astype(jnp.int32), 256, dtype=jnp.float32)
+    return jnp.sum(oh, axis=0)
+
+
+def _equalize_lut(hist: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
+    """cv2.equalizeHist LUT semantics: first nonzero bin maps to 0, scale =
+    255 / (total - count_of_first_nonzero_bin)."""
+    nz = hist > 0
+    first = jnp.argmax(nz)                       # first nonzero bin
+    h0 = hist[first]
+    scale = 255.0 / jnp.maximum(total - h0, 1.0)
+    cdf = jnp.cumsum(hist)
+    # cv2: lut[i] = round((cdf[i] - cdf[first]) * scale); lut[first] = 0
+    lut = jnp.round((cdf - cdf[first]) * scale)
+    lut = jnp.clip(lut, 0, 255)
+    # constant image: identity map
+    lut = jnp.where(total == h0, jnp.arange(256, dtype=lut.dtype), lut)
+    return lut.astype(jnp.uint8)
+
+
+@jax.jit
+def equalize_hist(image: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) uint8 -> equalized uint8 (cv2.equalizeHist semantics)."""
+    h, w = image.shape
+    hist = _histogram256(image.reshape(-1))
+    lut = _equalize_lut(hist, jnp.float32(h * w))
+    return lut[image.astype(jnp.int32)]
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "clip_limit"))
+def clahe(image: jnp.ndarray, clip_limit: float = 20.0, tiles: int = 5
+          ) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization.
+
+    (H, W) uint8 -> uint8; ``tiles`` x ``tiles`` grid (reference tileSize=5),
+    clip limit as in cv2 (scaled by tile_area/256), bilinear LUT blending.
+    """
+    h, w = image.shape
+    th = -(-h // tiles)          # ceil tile dims; pad bottom/right (cv2 pads
+    tw = -(-w // tiles)          # by replication to a multiple of the grid)
+    hp, wp = th * tiles, tw * tiles
+    img = jnp.pad(image, ((0, hp - h), (0, wp - w)), mode="edge")
+    t = img.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
+    t = t.reshape(tiles * tiles, th * tw)                     # per-tile pixels
+
+    hists = jax.vmap(_histogram256)(t)                        # (T^2, 256)
+    area = th * tw
+    limit = jnp.maximum(clip_limit * area / 256.0, 1.0)
+    clipped = jnp.minimum(hists, limit)
+    excess = jnp.sum(hists - clipped, axis=1, keepdims=True)
+    clipped = clipped + excess / 256.0                        # redistribute
+
+    scale = 255.0 / area
+    luts = jnp.clip(jnp.round(jnp.cumsum(clipped, axis=1) * scale), 0, 255)
+    luts = luts.reshape(tiles, tiles, 256)
+
+    # bilinear interpolation between the four surrounding tile LUTs
+    ri = jnp.arange(hp, dtype=jnp.float32)
+    ci = jnp.arange(wp, dtype=jnp.float32)
+    ty = ri / th - 0.5
+    tx = ci / tw - 0.5
+    y0 = jnp.clip(jnp.floor(ty), 0, tiles - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(tx), 0, tiles - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+    fy = jnp.clip(ty - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(tx - x0, 0.0, 1.0)[None, :]
+
+    v = img.astype(jnp.int32)
+    g = lambda yy, xx: luts[yy[:, None], xx[None, :], v]
+    out = ((1 - fy) * (1 - fx) * g(y0, x0) + (1 - fy) * fx * g(y0, x1) +
+           fy * (1 - fx) * g(y1, x0) + fy * fx * g(y1, x1))
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)[:h, :w]
+
+
+@functools.partial(jax.jit, static_argnames=("use_clahe", "tiles", "clip_limit"))
+def enhance_batch(images: jnp.ndarray, use_clahe: bool, clip_limit: float,
+                  tiles: int) -> jnp.ndarray:
+    """(P, H, W) uint8 batch enhancement dispatcher (Stitcher.py:269-276)."""
+    if use_clahe:
+        return jax.vmap(lambda im: clahe(im, clip_limit, tiles))(images)
+    return jax.vmap(equalize_hist)(images)

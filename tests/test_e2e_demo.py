@@ -1,0 +1,50 @@
+"""End-to-end stitching on the reference demo datasets (phase path)."""
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DEMO, has_demo_images
+from imagestitch_tpu import StitchConfig, Stitcher
+from imagestitch_tpu.io import dataset
+
+pytestmark = pytest.mark.skipif(not has_demo_images(),
+                                reason="reference demoImages not present")
+
+
+def test_iron_pairwise_phase():
+    """BASELINE config 1: iron 2-image stitch, phase correlation + fade.
+
+    Golden offset (1400, 0) derived from cv2.phaseCorrelate on the same
+    strips (validated in test_phase_corr parity tests): y=-149.90 at scale 1
+    -> int(-149) + (1936 - 387) = 1400.
+    """
+    files = dataset.list_project_images(os.path.join(REFERENCE_DEMO, "iron"), 1)
+    assert len(files) == 2
+    cfg = StitchConfig(registration="phase_incre", direction=1, direct_incre=0,
+                       roi_ratio=0.2, color_mode=True,
+                       fuse_method="fadeInAndFadeOut")
+    st = Stitcher(cfg)
+    results = st.stitch_files(files)
+    assert len(results) == 1
+    res = results[0]
+    assert res.offsets == [(1400, 0)]
+    assert res.image.shape == (1936 + 1400, 2584, 3)
+    # the panorama's top rows are image 1, bottom rows are image 2
+    batch = dataset.load_batch(files, color_mode=True)
+    np.testing.assert_array_equal(res.image[:1400], batch.color[0][:1400])
+    np.testing.assert_array_equal(res.image[1936:], batch.color[1][1936 - 1400:])
+
+
+def test_iron_gray_report():
+    files = dataset.list_project_images(os.path.join(REFERENCE_DEMO, "iron"), 1)
+    cfg = StitchConfig(registration="phase_incre", direction=1, direct_incre=0,
+                       roi_ratio=0.2, color_mode=False, fuse_method="notFuse")
+    st = Stitcher(cfg)
+    results = st.stitch_files(files)
+    rep = results[0].report
+    assert rep.num_pairs == 1 and rep.num_ok == 1
+    assert rep.offsets == [(1400, 0)]
+    assert rep.confidences[0] > 0.15
+    assert rep.directions == [1]
+    assert rep.scales == [1]
