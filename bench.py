@@ -91,6 +91,8 @@ def _cpu_reference_seconds(gray: np.ndarray) -> float:
 
 def main():
     import jax
+    from imagestitch_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from imagestitch_tpu import StitchConfig, compose
     from imagestitch_tpu.core import registration
 

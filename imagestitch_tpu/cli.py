@@ -87,6 +87,8 @@ def config_from_args(args) -> StitchConfig:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "stitch":
         cfg = config_from_args(args)

@@ -53,13 +53,14 @@ def _families(cfg: StitchConfig) -> Tuple[str, str, str]:
 
 @functools.partial(jax.jit, static_argnames=(
     "direction", "ratio", "max_kp", "det_family", "desc_family", "metric",
-    "vote_method", "enhance_mode", "enhance_tiles"))
+    "vote_method", "enhance_mode", "enhance_tiles", "use_pallas"))
 def _feature_attempt_jit(images: jnp.ndarray, direction: int, ratio: float,
                          max_kp: int, det_family: str, desc_family: str,
                          metric: str, threshold: float, search_ratio: float,
                          max_distance: float, vote_method: str = "mode",
                          enhance_mode: str = "none",
-                         enhance_clip: float = 20.0, enhance_tiles: int = 5):
+                         enhance_clip: float = 20.0, enhance_tiles: int = 5,
+                         use_pallas: bool = False):
     """One (direction, scale) attempt for a chunk of pairs.
 
     images: (C+1, H, W) uint8 slice whose adjacent pairs are evaluated.
@@ -85,7 +86,8 @@ def _feature_attempt_jit(images: jnp.ndarray, direction: int, ratio: float,
     valid_a = sc_a > 0
     valid_b = sc_b > 0
     train_idx, ok = match.match_batch(da, db, valid_a, valid_b,
-                                      search_ratio, max_distance, metric)
+                                      search_ratio, max_distance, metric,
+                                      use_pallas=use_pallas)
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
         rows_a, cols_a, rows_b, cols_b, train_idx, ok)
     if vote_method == "ransac":
@@ -99,24 +101,41 @@ def _chunked_attempt(images_dev, direction: int, ratio: float,
     the (C, K, K) distance-matrix footprint."""
     det_family, desc_family, metric = _families(cfg)
     n = images_dev.shape[0]
+    h, w = images_dev.shape[1:3]
     max_kp = cfg.features.max_keypoints
-    chunk = cfg.pair_batch or max(1, (1 << 28) // (4 * max_kp * max_kp))
+    if direction in (1, 3):
+        strip_px = roi.strip_length(h, ratio) * w
+    else:
+        strip_px = h * roi.strip_length(w, ratio)
+    # bound BOTH the (C, K, K) distance matrices and the ~40 float strip-size
+    # conv temporaries the detector generates per pair
+    dist_chunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
+    conv_chunk = max(1, (2 << 30) // (strip_px * 4 * 40))
+    chunk = cfg.pair_batch or min(dist_chunk, conv_chunk)
     drows, dcols, votes = [], [], []
     start = 0
     while start < n - 1:
         stop = min(start + chunk, n - 1)
+        img_chunk = images_dev[start:stop + 1]
+        pad = (chunk + 1) - img_chunk.shape[0]
+        if pad > 0 and n - 1 > chunk:
+            # pad the tail chunk to the uniform shape: ONE compile per config
+            img_chunk = jnp.concatenate(
+                [img_chunk, jnp.repeat(img_chunk[-1:], pad, axis=0)])
         dr, dc, nv = _feature_attempt_jit(
-            images_dev[start:stop + 1], direction, ratio, max_kp,
+            img_chunk, direction, ratio, max_kp,
             det_family, desc_family, metric,
             cfg.features.hessian_threshold, cfg.features.search_ratio,
             float(cfg.features.orb_max_distance),
             vote_method=cfg.offset_calculate,
             enhance_mode=_enhance_mode(cfg),
             enhance_clip=cfg.enhance.clip_limit,
-            enhance_tiles=cfg.enhance.tile_size)
-        drows.append(np.asarray(dr))
-        dcols.append(np.asarray(dc))
-        votes.append(np.asarray(nv))
+            enhance_tiles=cfg.enhance.tile_size,
+            use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
+        keep = stop - start
+        drows.append(np.asarray(dr)[:keep])
+        dcols.append(np.asarray(dc)[:keep])
+        votes.append(np.asarray(nv)[:keep])
         start = stop
     return {"drow": np.concatenate(drows), "dcol": np.concatenate(dcols),
             "votes": np.concatenate(votes)}
@@ -187,10 +206,10 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
     pchunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
     for s in range(0, n - 1, pchunk):
         e = min(s + pchunk, n - 1)
-        ti, ok = match.match_batch(descs[s:e], descs[s + 1:e + 1],
-                                   valid[s:e], valid[s + 1:e + 1],
-                                   cfg.features.search_ratio,
-                                   float(cfg.features.orb_max_distance), metric)
+        ti, ok = match.match_batch(
+            descs[s:e], descs[s + 1:e + 1], valid[s:e], valid[s + 1:e + 1],
+            cfg.features.search_ratio, float(cfg.features.orb_max_distance),
+            metric, use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
             rows[s:e], cols[s:e], rows[s + 1:e + 1], cols[s + 1:e + 1], ti, ok)
         if cfg.offset_calculate == "ransac":

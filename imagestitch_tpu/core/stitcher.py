@@ -44,9 +44,10 @@ class Stitcher:
     Stitcher.direction is a class attribute surviving across datasets,
     Stitcher.py:361 / Main.py:17-47)."""
 
-    def __init__(self, cfg: StitchConfig):
+    def __init__(self, cfg: StitchConfig, checkpoint_dir: Optional[str] = None):
         self.cfg = cfg
         self._direction = cfg.direction
+        self.checkpoint_dir = checkpoint_dir
 
     # -- registration ------------------------------------------------------
 
@@ -79,7 +80,19 @@ class Stitcher:
         is returned as-is (reference Stitcher.py:119-125).
         """
         t0 = time.time()
-        recs = self.register(batch.gray)
+        recs = None
+        ckpt_path = None
+        if self.checkpoint_dir is not None:
+            from . import checkpoint as ckpt
+            import hashlib
+            key = hashlib.sha1("\n".join(batch.files).encode()).hexdigest()[:16]
+            ckpt_path = os.path.join(self.checkpoint_dir, f"reg_{key}.json")
+            recs = ckpt.load_registration(ckpt_path, batch.files)
+        if recs is None:
+            recs = self.register(batch.gray)
+            if ckpt_path is not None:
+                from . import checkpoint as ckpt
+                ckpt.save_registration(ckpt_path, batch.files, recs)
         t_reg = time.time() - t0
         compose_src = batch.color if self.cfg.color_mode else batch.gray
         n = batch.num_images

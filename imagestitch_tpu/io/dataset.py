@@ -64,16 +64,19 @@ def load_batch(files: Sequence[str], color_mode: bool,
         raise ValueError("empty file list")
     grays: List[np.ndarray] = []
     colors: List[np.ndarray] = []
-    if loader is not None:
-        decoded = loader.read_all(files, color_mode)
-    else:
-        decoded = [codec.imread(f, color_mode) for f in files]
-    for f, img in zip(files, decoded):
-        if color_mode:
+    if loader is None:
+        # default to the native thread-pool decoder; degrades internally
+        from .native_loader import NativeLoader
+        loader = NativeLoader()
+    decoded = loader.read_all(files, color_mode)
+    if color_mode:
+        from .native_loader import bgr_to_gray_native
+        for f, img in zip(files, decoded):
             colors.append(img)
-            grays.append(codec.to_gray(img))
-        else:
-            grays.append(img)
+            g = bgr_to_gray_native(img)
+            grays.append(g if g is not None else codec.to_gray(img))
+    else:
+        grays = list(decoded)
     shape0 = grays[0].shape
     for f, g in zip(files, grays):
         if g.shape != shape0:

@@ -81,14 +81,25 @@ def match_nearest_hamming(da: jnp.ndarray, db: jnp.ndarray,
     return i0, ok
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
+@functools.partial(jax.jit, static_argnames=("metric", "use_pallas"))
 def match_batch(da: jnp.ndarray, db: jnp.ndarray,
                 valid_a: jnp.ndarray, valid_b: jnp.ndarray,
-                ratio: float, max_distance: float, metric: str = "l2"
+                ratio: float, max_distance: float, metric: str = "l2",
+                use_pallas: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vmap over the pair axis: (P, K, D) descriptors -> (P, K) matches."""
+    """vmap over the pair axis: (P, K, D) descriptors -> (P, K) matches.
+
+    ``use_pallas`` routes L2 matching through the fused VMEM-resident
+    distance+top-2 kernel (ops/pallas/matcher.py) — TPU only, K % 256 == 0.
+    """
     if metric == "l2":
-        f = lambda a, b, va, vb: match_ratio(a, b, va, vb, ratio)
+        if use_pallas and da.shape[1] % 256 == 0:
+            from ..pallas import matcher as pallas_matcher
+
+            f = lambda a, b, va, vb: pallas_matcher.match_ratio_pallas(
+                a, b, va, vb, ratio)
+        else:
+            f = lambda a, b, va, vb: match_ratio(a, b, va, vb, ratio)
     else:
         f = lambda a, b, va, vb: match_nearest_hamming(a, b, va, vb,
                                                        max_distance)

@@ -44,7 +44,8 @@ def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
     """cv2.pyrUp semantics: zero-stuff to 2x then blur with the 4x kernel."""
     h, w = x.shape
     up = jnp.zeros((2 * h, 2 * w), x.dtype).at[::2, ::2].set(x)
-    return _sep_conv_reflect(up, _K5 * 4.0)
+    # total gain 4 to conserve brightness: 2x per separable axis
+    return _sep_conv_reflect(up, _K5 * 2.0)
 
 
 def _resize_to(x: jnp.ndarray, shape_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -69,3 +69,32 @@ def extract_strips(images_a: jnp.ndarray, images_b: jnp.ndarray,
             return images_a[..., :, w - L:w], images_b[..., :, 0:L]
         return images_a[..., :, 0:L], images_b[..., :, w - L:w]
     raise ValueError(f"bad direction {direction}")
+
+
+def extract_fixed_strips(images_a: jnp.ndarray, images_b: jnp.ndarray,
+                         direction, search_length: int,
+                         search_length_large: int = -1):
+    """Fixed-pixel-length ROI variant (deprecated in the reference but part
+    of its API surface: ``getROIRegion``, ImageUtility.py:103-137).
+
+    ``direction`` accepts "horizontal"/2 or "vertical"/1;
+    ``search_length_large`` additionally crops the cross axis when > 0.
+    """
+    h, w = images_a.shape[-2], images_a.shape[-1]
+    L = search_length
+    XL = search_length_large
+    if direction in ("horizontal", 2):
+        a = images_a[..., :, w - L:w]
+        b = images_b[..., :, 0:L]
+        if XL > 0:
+            a = a[..., h - XL:h, :]
+            b = b[..., 0:XL, :]
+        return a, b
+    if direction in ("vertical", 1):
+        a = images_a[..., h - L:h, :]
+        b = images_b[..., 0:L, :]
+        if XL > 0:
+            a = a[..., :, w - XL:w]
+            b = b[..., :, 0:XL]
+        return a, b
+    raise ValueError(f"bad direction {direction}")
