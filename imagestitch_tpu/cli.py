@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--clip-limit", type=float, default=20.0)
     s.add_argument("--tile-size", type=int, default=5)
     s.add_argument("--max-keypoints", type=int, default=1024)
-    s.add_argument("--hessian-threshold", type=float, default=100.0)
+    s.add_argument("--hessian-threshold", type=float, default=10.0)
     s.add_argument("--phase-response-threshold", type=float, default=0.15)
     s.add_argument("--report", help="write per-pair JSON report here")
     s.add_argument("--quiet", action="store_true")

@@ -30,9 +30,21 @@ class FeatureConfig:
     top-K keypoints so every shape is static under jit.
     """
     method: str = "surf"              # "sift" | "surf" | "orb" (detector family)
-    max_keypoints: int = 2048          # fixed capacity (reference: unbounded, dynamic)
+    max_keypoints: int = 1024          # per-attempt capacity (reference: unbounded)
+    pool_keypoints: int = 6144         # full-frame pool for the detect-once
+                                       # fast path (per-strip top-K drawn from it)
+    strict_roi_detect: bool = False    # True: detect per-ROI exactly like the
+                                       # reference (slower; the pooled path is
+                                       # offset-equivalent, see
+                                       # core/feature_registration.py)
     search_ratio: float = 0.75         # Lowe ratio test (ImageUtility.py:17)
-    hessian_threshold: float = 100.0   # ImageUtility.py:23
+    hessian_threshold: float = 10.0    # detector response floor.  The
+                                       # reference's 100 (ImageUtility.py:23) is
+                                       # in SURF *box-filter* response units;
+                                       # our Gaussian-derivative DoH scale
+                                       # differs — 10 keeps low-contrast (REM)
+                                       # frames detectable while top-K bounds
+                                       # the work either way
     n_octaves: int = 4                 # ImageUtility.py:24
     n_octave_layers: int = 3           # ImageUtility.py:25
     extended: bool = True              # 128-dim SURF descriptors (ImageUtility.py:26)

@@ -54,20 +54,19 @@ def _families(cfg: StitchConfig) -> Tuple[str, str, str]:
 @functools.partial(jax.jit, static_argnames=(
     "direction", "ratio", "max_kp", "det_family", "desc_family", "metric",
     "vote_method", "enhance_mode", "enhance_tiles", "use_pallas"))
-def _feature_attempt_jit(images: jnp.ndarray, direction: int, ratio: float,
+def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
+                         direction: int, ratio: float,
                          max_kp: int, det_family: str, desc_family: str,
                          metric: str, threshold: float, search_ratio: float,
                          max_distance: float, vote_method: str = "mode",
                          enhance_mode: str = "none",
                          enhance_clip: float = 20.0, enhance_tiles: int = 5,
                          use_pallas: bool = False):
-    """One (direction, scale) attempt for a chunk of pairs.
+    """One (direction, scale) attempt for a batch of explicit (A, B) pairs.
 
-    images: (C+1, H, W) uint8 slice whose adjacent pairs are evaluated.
+    a, b: (C, H, W) uint8 batches (pair k = a[k] vs b[k]).
     Returns per-pair (drow_strip, dcol_strip, votes) arrays of shape (C,).
     """
-    a = images[:-1]
-    b = images[1:]
     ra, rb = roi.extract_strips(a, b, direction, ratio)
     if enhance_mode != "none":
         # reference enhances the ROI strips in-place (Stitcher.py:327-334)
@@ -95,35 +94,31 @@ def _feature_attempt_jit(images: jnp.ndarray, direction: int, ratio: float,
     return vote.mode_vote_batch(d_row, d_col, v)
 
 
-def _chunked_attempt(images_dev, direction: int, ratio: float,
-                     cfg: StitchConfig) -> Dict[str, np.ndarray]:
-    """Evaluate one (direction, ratio) config for all pairs, chunked to bound
-    the (C, K, K) distance-matrix footprint."""
+def _strict_attempt(images_dev, direction: int, ratio: float,
+                    idx: np.ndarray, cfg: StitchConfig
+                    ) -> Dict[str, np.ndarray]:
+    """Per-ROI detection attempt for an explicit pair subset (strict parity
+    mode: the detector sees exactly the strip, as the reference does)."""
     det_family, desc_family, metric = _families(cfg)
-    n = images_dev.shape[0]
     h, w = images_dev.shape[1:3]
     max_kp = cfg.features.max_keypoints
     if direction in (1, 3):
         strip_px = roi.strip_length(h, ratio) * w
     else:
         strip_px = h * roi.strip_length(w, ratio)
-    # bound BOTH the (C, K, K) distance matrices and the ~40 float strip-size
-    # conv temporaries the detector generates per pair
     dist_chunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
-    conv_chunk = max(1, (2 << 30) // (strip_px * 4 * 40))
+    conv_chunk = max(1, (12 << 30) // (strip_px * 4 * 100))
     chunk = cfg.pair_batch or min(dist_chunk, conv_chunk)
     drows, dcols, votes = [], [], []
-    start = 0
-    while start < n - 1:
-        stop = min(start + chunk, n - 1)
-        img_chunk = images_dev[start:stop + 1]
-        pad = (chunk + 1) - img_chunk.shape[0]
-        if pad > 0 and n - 1 > chunk:
-            # pad the tail chunk to the uniform shape: ONE compile per config
-            img_chunk = jnp.concatenate(
-                [img_chunk, jnp.repeat(img_chunk[-1:], pad, axis=0)])
-        dr, dc, nv = _feature_attempt_jit(
-            img_chunk, direction, ratio, max_kp,
+    for s in range(0, len(idx), chunk):
+        sub, keep = reg.pad_indices(idx[s:s + chunk])
+        # build a (B+1)-image slice whose adjacent pairs are exactly `sub`:
+        # gather A images then append each B — use explicit A/B stacking
+        imgs = jnp.concatenate([images_dev[jnp.asarray(sub)],
+                                images_dev[jnp.asarray(sub) + 1]])
+        b = len(sub)
+        dr, dc, nv = _feature_attempt_pairs_jit(
+            imgs[:b], imgs[b:], direction, ratio, max_kp,
             det_family, desc_family, metric,
             cfg.features.hessian_threshold, cfg.features.search_ratio,
             float(cfg.features.orb_max_distance),
@@ -132,37 +127,158 @@ def _chunked_attempt(images_dev, direction: int, ratio: float,
             enhance_clip=cfg.enhance.clip_limit,
             enhance_tiles=cfg.enhance.tile_size,
             use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
-        keep = stop - start
         drows.append(np.asarray(dr)[:keep])
         dcols.append(np.asarray(dc)[:keep])
         votes.append(np.asarray(nv)[:keep])
-        start = stop
     return {"drow": np.concatenate(drows), "dcol": np.concatenate(dcols),
             "votes": np.concatenate(votes)}
 
 
+# ---------------------------------------------------------------------------
+# Pooled fast path: detect/describe each image ONCE on the full frame, then
+# evaluate every (direction, scale) attempt by masking the keypoint pool to
+# the strip.  Exactly equivalent decision data: the reference's strip-local
+# displacement + margin correction equals the full-image displacement
+# (integer strip origins cancel under int() truncation), so the mode vote
+# over in-strip matches yields the identical offset.  The detector context
+# differs only within a filter-radius band at strip borders.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_pool", "det_family", "desc_family"))
+def _pool_features_jit(images: jnp.ndarray, max_pool: int, det_family: str,
+                       desc_family: str, threshold: float):
+    r, c, s = detect.detect_batch(images, max_kp=max_pool,
+                                  threshold=threshold, family=det_family)
+    d = describe.describe_batch(images, r, c, family=desc_family)
+    return r, c, s, d
+
+
+def _precompute_pool(images_dev, cfg: StitchConfig):
+    det_family, desc_family, _ = _families(cfg)
+    n, h, w = images_dev.shape
+    pool = cfg.features.pool_keypoints
+    chunk = max(1, (12 << 30) // (h * w * 4 * 100))
+    rows, cols, scores, descs = [], [], [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        im = images_dev[s:e]
+        if e - s < chunk and n > chunk:  # uniform shape -> one compile
+            im = jnp.concatenate([im, jnp.repeat(im[-1:], chunk - (e - s), 0)])
+        r, c, sc, d = _pool_features_jit(im, pool, det_family, desc_family,
+                                         cfg.features.hessian_threshold)
+        rows.append(r[:e - s]); cols.append(c[:e - s])
+        scores.append(sc[:e - s]); descs.append(d[:e - s])
+    return (jnp.concatenate(rows), jnp.concatenate(cols),
+            jnp.concatenate(scores), jnp.concatenate(descs))
+
+
+def _strip_bounds(direction: int, order: str, ratio: float, h: int, w: int):
+    """Full-image-coordinate bounds (r0, r1, c0, c1) of the search strip
+    (getROIRegionForIncreMethod semantics, ImageUtility.py:77-100)."""
+    if direction in (1, 3):
+        L = roi.strip_length(h, ratio)
+        first_low = direction == 3  # dir 3: A top strip
+        if (order == "first") != first_low:
+            return h - L, h, 0, w
+        return 0, L, 0, w
+    L = roi.strip_length(w, ratio)
+    first_low = direction == 4      # dir 4: A left strip
+    if (order == "first") != first_low:
+        return 0, h, w - L, w
+    return 0, h, 0, L
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bounds_a", "bounds_b", "k_sel", "metric", "vote_method", "use_pallas"))
+def _pool_attempt_jit(rows, cols, scores, descs, idx: jnp.ndarray,
+                      bounds_a, bounds_b, k_sel: int, metric: str,
+                      search_ratio: float, max_distance: float,
+                      vote_method: str, use_pallas: bool):
+    """One (direction, scale) attempt for pair subset ``idx`` from the pool.
+
+    rows/cols/scores: (N, P); descs: (N, P, D).  Returns (drow, dcol, votes)
+    per pair — FULL-image offsets (margin correction pre-cancelled).
+    """
+    def side(i, bounds):
+        r = rows[i]
+        c = cols[i]
+        s = scores[i]
+        r0, r1, c0, c1 = bounds
+        m = (s > 0) & (r >= r0) & (r < r1) & (c >= c0) & (c < c1)
+        # top-k_sel by score among in-strip keypoints
+        sel = jnp.where(m, s, -1.0)
+        top_s, top_i = jax.lax.top_k(sel, k_sel)
+        take = lambda x: jnp.take_along_axis(x, top_i, axis=-1)
+        valid = top_s > 0
+        return take(r), take(c), valid, jnp.take_along_axis(
+            descs[i], top_i[..., None], axis=-2)
+
+    ra, ca, va, da = side(idx, bounds_a)
+    rb, cb, vb, db = side(idx + 1, bounds_b)
+    train_idx, ok = match.match_batch(da, db, va, vb, search_ratio,
+                                      max_distance, metric,
+                                      use_pallas=use_pallas)
+    d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
+        ra, ca, rb, cb, train_idx, ok)
+    if vote_method == "ransac":
+        return vote.ransac_translation_batch(d_row, d_col, v)
+    return vote.mode_vote_batch(d_row, d_col, v)
+
+
 def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
                                      ) -> List[reg.PairRegistration]:
-    """Incremental ROI feature search over a (N, H, W) grayscale batch."""
+    """Incremental ROI feature search over a (N, H, W) grayscale batch.
+
+    Default engine: pooled fast path (detect once per image).  Set
+    ``cfg.features.strict_roi_detect`` for the reference's per-ROI detection.
+    """
     images_dev = jnp.asarray(images)
     n, h, w = images.shape
     if n < 2:
         return []
 
-    def evaluator(direction: int, ratio: float) -> Dict[str, np.ndarray]:
-        return _chunked_attempt(images_dev, direction, ratio, cfg)
+    emode = _enhance_mode(cfg)
+    use_strict = cfg.features.strict_roi_detect or emode != "none"
+    if not use_strict:
+        _, _, metric = _families(cfg)
+        pool = _precompute_pool(images_dev, cfg)
+        k_sel = cfg.features.max_keypoints
+        use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+
+        def evaluator(direction: int, ratio: float, idx: np.ndarray
+                      ) -> Dict[str, np.ndarray]:
+            idx_p, keep = reg.pad_indices(idx)
+            ba = _strip_bounds(direction, "first", ratio, h, w)
+            bb = _strip_bounds(direction, "second", ratio, h, w)
+            dr, dc, nv = _pool_attempt_jit(
+                *pool, jnp.asarray(idx_p), ba, bb, k_sel, metric,
+                cfg.features.search_ratio,
+                float(cfg.features.orb_max_distance),
+                cfg.offset_calculate, use_pallas)
+            return {"drow": np.asarray(dr)[:keep],
+                    "dcol": np.asarray(dc)[:keep],
+                    "votes": np.asarray(nv)[:keep]}
+
+        offsets_are_full = True
+    else:
+        def evaluator(direction: int, ratio: float, idx: np.ndarray
+                      ) -> Dict[str, np.ndarray]:
+            return _strict_attempt(images_dev, direction, ratio, idx, cfg)
+
+        offsets_are_full = False
 
     cache = reg.AttemptCache(evaluator)
 
-    def accept(res: Dict[str, np.ndarray], k: int) -> bool:
-        return bool(res["votes"][k] >= cfg.offset_evaluate)
+    def accept(res: Dict[str, float]) -> bool:
+        return bool(res["votes"] >= cfg.offset_evaluate)
 
-    def extract(res: Dict[str, np.ndarray], k: int):
-        # already integer (truncated) strip offsets; confidence = vote count
-        return (float(res["drow"][k]), float(res["dcol"][k]),
-                float(res["votes"][k]))
+    def extract(res: Dict[str, float]):
+        # already integer (truncated) offsets; confidence = vote count
+        return float(res["drow"]), float(res["dcol"]), float(res["votes"])
 
-    return reg._replay_incremental(n - 1, cfg, cache, accept, extract, (h, w))
+    return reg._replay_incremental(n - 1, cfg, cache, accept, extract, (h, w),
+                                   offsets_are_full=offsets_are_full)
 
 
 def register_sequence_features(images: np.ndarray, cfg: StitchConfig

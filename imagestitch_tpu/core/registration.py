@@ -39,38 +39,64 @@ class PairRegistration:
     attempts: int                      # number of attempts consumed
 
 
-class AttemptCache:
-    """Lazily-materialized (direction, scale) -> per-pair attempt results.
+def bucket_size(n: int) -> int:
+    """Round a subset size up to a power of two so every (config, bucket)
+    pair compiles at most once."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
-    One device dispatch fills the result for every pair at once; the host
-    replay then consumes scalars.  ``evaluator(direction, ratio)`` must return
-    host arrays of per-pair results.
+
+class AttemptCache:
+    """Lazily-materialized (direction, scale, pair) attempt results.
+
+    ``evaluator(direction, ratio, pair_indices)`` evaluates one configuration
+    for an explicit subset of pairs in a single batched dispatch and returns
+    host arrays aligned with ``pair_indices``.  When the replay demands a
+    missing (config, pair) result, the whole set of still-unresolved pairs is
+    prefetched speculatively in the same dispatch — the sequential semantics
+    stay exact (an attempt's outcome depends only on (pair, direction,
+    scale)), while resolved pairs stop consuming device time.
     """
 
-    def __init__(self, evaluator: Callable[[int, float], Dict[str, np.ndarray]]):
+    def __init__(self, evaluator: Callable[[int, float, np.ndarray],
+                                           Dict[str, np.ndarray]]):
         self._evaluator = evaluator
-        self._cache: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+        self._cache: Dict[Tuple[int, int], Dict[int, Dict[str, float]]] = {}
         self.dispatches = 0
 
-    def get(self, direction: int, scale: int, ratio: float) -> Dict[str, np.ndarray]:
+    def get(self, direction: int, scale: int, ratio: float, pair: int,
+            prefetch: Sequence[int]) -> Dict[str, float]:
         key = (direction, scale)
-        if key not in self._cache:
-            self._cache[key] = self._evaluator(direction, scale * ratio)
+        store = self._cache.setdefault(key, {})
+        if pair not in store:
+            todo = [pair] + [p for p in prefetch if p != pair and p not in store]
+            idx = np.asarray(sorted(todo), np.int32)
+            res = self._evaluator(direction, scale * ratio, idx)
             self.dispatches += 1
-        return self._cache[key]
+            for j, p in enumerate(idx):
+                store[int(p)] = {k: v[j] for k, v in res.items()}
+        return store[pair]
 
 
 def _replay_incremental(num_pairs: int, cfg: StitchConfig,
                         cache: AttemptCache,
-                        accept: Callable[[Dict[str, np.ndarray], int], bool],
-                        extract: Callable[[Dict[str, np.ndarray], int], Tuple[float, float, float]],
-                        shape: Tuple[int, int]) -> List[PairRegistration]:
+                        accept: Callable[[Dict[str, float]], bool],
+                        extract: Callable[[Dict[str, float]],
+                                          Tuple[float, float, float]],
+                        shape: Tuple[int, int],
+                        offsets_are_full: bool = False
+                        ) -> List[PairRegistration]:
     """Replay the reference's scale-growth x direction-rotation search.
 
-    ``accept(results, k)`` decides whether attempt ``results`` succeeded for
-    pair ``k``; ``extract`` returns (drow_f, dcol_f, confidence) of the
-    strip-local offset.  Exact semantics of Stitcher.py:205-258 / :306-367
-    including direction persistence across pairs.
+    ``accept(result)`` decides whether an attempt succeeded for a pair;
+    ``extract`` returns (drow_f, dcol_f, confidence).  Exact semantics of
+    Stitcher.py:205-258 / :306-367 including direction persistence across
+    pairs.  ``offsets_are_full``: the evaluator already reports full-image
+    offsets (pooled feature path) — skip the strip margin correction (the
+    two formulations are algebraically identical: strip offset + margin ==
+    full-image displacement, since the strip origins are integer).
     """
     out: List[PairRegistration] = []
     direction = cfg.direction
@@ -81,13 +107,18 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
         status = False
         attempts = 0
         best = None
+        unresolved = range(k, num_pairs)
         for i in range(1, max_i):
             while True:
-                res = cache.get(local_direction, i, cfg.roi_ratio)
+                # scale-1 configs are what later pairs will mostly need;
+                # deeper scales are rare — prefetch narrowly there
+                pf = unresolved if i == 1 else list(unresolved)[:8]
+                res = cache.get(local_direction, i, cfg.roi_ratio, k,
+                                prefetch=pf)
                 attempts += 1
-                if accept(res, k):
+                if accept(res):
                     status = True
-                    best = (local_direction, i, extract(res, k))
+                    best = (local_direction, i, extract(res))
                 if status:
                     break
                 local_direction = direction_increase(local_direction, cfg.direct_incre)
@@ -97,7 +128,11 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
                 break
         if status:
             d, i, (drow_f, dcol_f, conf) = best
-            mr, mc = roi.margin_correction(d, shape, shape, i * cfg.roi_ratio)
+            if offsets_are_full:
+                mr = mc = 0
+            else:
+                mr, mc = roi.margin_correction(d, shape, shape,
+                                               i * cfg.roi_ratio)
             # reference truncates the sub-pixel strip offset BEFORE the margin
             # correction (Stitcher.py:231-232 then :243-253)
             drow = int(drow_f) + mr
@@ -119,19 +154,29 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("direction", "ratio", "hp", "wp"))
-def _phase_attempt_jit(images: jnp.ndarray, direction: int, ratio: float,
-                       hp: int, wp: int):
-    """All pairs' strips for one (direction, ratio) -> phase correlation.
+def _phase_attempt_jit(images: jnp.ndarray, idx: jnp.ndarray, direction: int,
+                       ratio: float, hp: int, wp: int):
+    """Selected pairs' strips for one (direction, ratio) -> phase correlation.
 
-    ``images``: (N, H, W) uint8 device batch; pairs are (i, i+1).
-    Slice + cast + FFT fuse into one XLA program; nothing round-trips.
+    ``images``: (N, H, W) uint8 device batch; ``idx``: (B,) pair indices
+    (pair k = images k, k+1).  Gather + slice + cast + FFT fuse into one XLA
+    program; nothing round-trips.
     """
-    a = images[:-1]
-    b = images[1:]
+    a = images[idx]
+    b = images[idx + 1]
     ra, rb = roi.extract_strips(a, b, direction, ratio)
     f = jax.vmap(lambda x, y: phase_corr._phase_correlate_one(
         x.astype(jnp.float32), y.astype(jnp.float32), hp, wp))
     return f(ra, rb)
+
+
+def pad_indices(idx: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Pad a subset-index vector to its power-of-two bucket (repeat last)."""
+    n = len(idx)
+    b = bucket_size(n)
+    if b == n:
+        return idx, n
+    return np.concatenate([idx, np.full(b - n, idx[-1], idx.dtype)]), n
 
 
 def register_sequence_phase(images: np.ndarray, cfg: StitchConfig
@@ -146,24 +191,34 @@ def register_sequence_phase(images: np.ndarray, cfg: StitchConfig
     if n < 2:
         return []
 
-    def evaluator(direction: int, ratio: float) -> Dict[str, np.ndarray]:
+    def evaluator(direction: int, ratio: float, idx: np.ndarray
+                  ) -> Dict[str, np.ndarray]:
         if direction in (1, 3):
             sh, sw = roi.strip_length(h, ratio), w
         else:
             sh, sw = h, roi.strip_length(w, ratio)
         hp, wp = phase_corr.optimal_dft_size(sh), phase_corr.optimal_dft_size(sw)
-        sx, sy, resp = _phase_attempt_jit(images_dev, direction, ratio, hp, wp)
-        return {"sx": np.asarray(sx), "sy": np.asarray(sy),
-                "resp": np.asarray(resp)}
+        idx_p, keep = pad_indices(idx)
+        sx, sy, resp = _phase_attempt_jit(images_dev, jnp.asarray(idx_p),
+                                          direction, ratio, hp, wp)
+        return {"sx": np.asarray(sx)[:keep], "sy": np.asarray(sy)[:keep],
+                "resp": np.asarray(resp)[:keep]}
 
     cache = AttemptCache(evaluator)
 
-    def accept(res: Dict[str, np.ndarray], k: int) -> bool:
-        return bool(res["resp"][k] > cfg.phase_response_threshold)
+    def accept(res: Dict[str, float]) -> bool:
+        return bool(res["resp"] > cfg.phase_response_threshold)
 
-    def extract(res: Dict[str, np.ndarray], k: int) -> Tuple[float, float, float]:
-        # cv2 returns (x=col, y=row); reference maps offset=[int(y), int(x)]
-        return float(res["sy"][k]), float(res["sx"][k]), float(res["resp"][k])
+    def extract(res: Dict[str, float]) -> Tuple[float, float, float]:
+        # cv2.phaseCorrelate returns (x, y) = the NEGATIVE of the window
+        # displacement of B relative to A, so the strip-local offset the
+        # margin correction expects is (-y, -x).  The reference adds +y/+x
+        # (Stitcher.py:231-232) — a sign inversion that makes its phase path
+        # compute 2*margin - offset; that path is explicitly marked
+        # incomplete (Stitcher.py:207) and unused by its driver.  We repair
+        # rather than replicate.  Truncation commutes with negation
+        # (int() truncates toward zero), preserving the int semantics.
+        return -float(res["sy"]), -float(res["sx"]), float(res["resp"])
 
     return _replay_incremental(n - 1, cfg, cache, accept, extract, (h, w))
 
@@ -187,10 +242,11 @@ def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
     out: List[PairRegistration] = []
     for k in range(n - 1):
         ok = bool(resp[k] > cfg.phase_response_threshold)
+        # negate: cv2's (x, y) is minus the B-relative-to-A displacement
         out.append(PairRegistration(
             ok=ok,
-            offset=(int(np.round(sy[k])), int(np.round(sx[k]))),
-            offset_subpix=(float(sy[k]), float(sx[k])),
+            offset=(int(np.round(-sy[k])), int(np.round(-sx[k]))),
+            offset_subpix=(float(-sy[k]), float(-sx[k])),
             direction=cfg.direction if ok else 0,
             scale=0, confidence=float(resp[k]), attempts=1))
     return out

@@ -1,0 +1,201 @@
+"""Accuracy harness: registration quality across the six demo datasets.
+
+BASELINE metric: mean offset error (px) vs golden offsets.  Goldens:
+  * dendriticCrystal — the reference's own commented 89-offset chain
+    (reference: Stitcher.py:87), adapted for the missing 1-002 frame;
+  * other datasets publish no goldens — an independent cv2.SIFT + mode-vote
+    oracle (the reference's decision rule on OpenCV's detector) provides
+    per-pair cross-checks when cv2 is available.
+
+Each dataset runs the configuration the reference driver uses for it
+(Main.py:17-51).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import FeatureConfig, StitchConfig
+from ..core import feature_registration as freg
+from ..core import registration as reg
+from ..io import dataset
+
+# Reference golden chain for the 90-image dendritic grid (Stitcher.py:87).
+DENDRITIC_GOLDEN_90 = [
+    [1784, 2], [1805, 2], [1809, 2], [1775, 2], [1760, 2], [1846, 2],
+    [1809, 1], [1812, 2], [1786, 1], [1818, 3], [1786, 2], [1802, 2],
+    [1722, 1], [1211, 1], [-10, 2411], [-1734, -1], [-1808, -1], [-1788, -3],
+    [-1754, -1], [-1727, -2], [-1790, -3], [-1785, -2], [-1778, -1],
+    [-1807, -2], [-1767, -2], [-1822, -3], [-1677, -2], [-1778, -2],
+    [-1440, -1], [-2, 2410], [1758, 2], [1792, 2], [1794, 2], [1840, 3],
+    [1782, 2], [1802, 3], [1782, 2], [1763, 3], [1738, 2], [1837, 3],
+    [1781, 2], [1788, 18], [1712, 0], [1271, -11], [-3, 2478], [-1787, -1],
+    [-1812, -2], [-1822, -2], [-1762, -1], [-1725, -2], [-1884, -2],
+    [-1754, -2], [-1747, -1], [-1666, -1], [-1874, -3], [-1695, -2],
+    [-1672, -1], [-1816, -2], [-1411, -1], [-4, 2431], [1874, 3], [1706, -3],
+    [1782, 2], [1794, 2], [1732, 3], [1838, 3], [1721, 1], [1783, 3],
+    [1805, 2], [1725, 3], [1828, 1], [1774, 3], [1776, 1], [1201, 1],
+    [-16, 2405], [-1821, 0], [-1843, -2], [-1758, -2], [-1742, -3],
+    [-1814, -2], [-1817, -2], [-1848, -2], [-1768, -2], [-1749, -2],
+    [-1765, -2], [-1659, -2], [-1832, -2], [-1791, -2], [-1197, -1],
+]
+
+
+def dendritic_golden_89() -> List[Tuple[int, int]]:
+    """Golden chain for the shipped 89-frame set (1-002 missing -> the first
+    shipped pair spans golden offsets 0+1, which exceeds the frame height:
+    physically unstitchable, expected FAIL)."""
+    g = DENDRITIC_GOLDEN_90
+    first = (g[0][0] + g[1][0], g[0][1] + g[1][1])
+    return [first] + [tuple(x) for x in g[2:]]
+
+
+# (name, subdir, config builder) — mirrors Main.py:17-51
+def dataset_configs(feature_method: str = "surf") -> Dict[str, StitchConfig]:
+    feat = FeatureConfig(method=feature_method)
+    base = dict(offset_calculate="mode", offset_evaluate=3, roi_ratio=0.2,
+                fuse_method="fadeInAndFadeOut", features=feat)
+    return {
+        "iron": StitchConfig(registration="feature_incre", direction=1,
+                             direct_incre=0, **base),
+        "dendriticCrystal": StitchConfig(registration="feature_incre",
+                                         direction=1, direct_incre=1, **base),
+        "zirconBSE": StitchConfig(registration="feature", direction=4,
+                                  direct_incre=0, **base),
+        "zirconCL": StitchConfig(registration="feature", direction=4,
+                                 direct_incre=0, **base),
+        "zirconREM": StitchConfig(registration="feature", direction=4,
+                                  direct_incre=0, **base),
+        "zirconTEM": StitchConfig(registration="feature", direction=4,
+                                  direct_incre=0, **base),
+    }
+
+
+def _sift_oracle_offset(a: np.ndarray, b: np.ndarray
+                        ) -> Optional[Tuple[int, int]]:
+    """Independent whole-image cv2.SIFT + reference mode-vote oracle."""
+    try:
+        import cv2
+    except Exception:
+        return None
+    sift = cv2.SIFT_create()
+    ka, da = sift.detectAndCompute(a, None)
+    kb, db = sift.detectAndCompute(b, None)
+    if da is None or db is None or len(ka) < 2 or len(kb) < 2:
+        return None
+    bf = cv2.BFMatcher()
+    raw = bf.knnMatch(da, db, 2)
+    from collections import Counter
+    votes = Counter()
+    order: Dict[Tuple[int, int], int] = {}
+    for m in raw:
+        if len(m) == 2 and m[0].distance < 0.75 * m[1].distance:
+            pa = ka[m[0].queryIdx].pt
+            pb = kb[m[0].trainIdx].pt
+            d = (int(pa[1] - pb[1]), int(pa[0] - pb[0]))
+            if d == (0, 0):
+                continue
+            votes[d] += 1
+            order.setdefault(d, len(order))
+    if not votes:
+        return None
+    best = max(votes.items(), key=lambda kv: (kv[1], -order[kv[0]]))
+    if best[1] < 3:
+        return None
+    return best[0]
+
+
+@dataclasses.dataclass
+class DatasetAccuracy:
+    name: str
+    num_pairs: int
+    num_ok: int
+    mean_abs_err_px: Optional[float]
+    max_abs_err_px: Optional[float]
+    within_1px: Optional[int]
+    compared_pairs: int
+    offsets: List[Tuple[int, int]]
+
+
+def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
+                     use_oracle: bool = True) -> DatasetAccuracy:
+    files = dataset.list_project_images(os.path.join(demo_root, name), 1)
+    batch = dataset.load_batch(files, color_mode=False)
+    if cfg.registration == "feature_incre":
+        recs = freg.register_sequence_features_incre(batch.gray, cfg)
+    elif cfg.registration == "feature":
+        recs = freg.register_sequence_features(batch.gray, cfg)
+    else:
+        recs = reg.register_sequence_phase(batch.gray, cfg)
+
+    goldens: List[Optional[Tuple[int, int]]]
+    if name == "dendriticCrystal" and len(recs) == 88:
+        goldens = list(dendritic_golden_89())
+    elif use_oracle:
+        goldens = [_sift_oracle_offset(batch.gray[k], batch.gray[k + 1])
+                   for k in range(len(recs))]
+    else:
+        goldens = [None] * len(recs)
+
+    errs = []
+    within1 = 0
+    compared = 0
+    for r, g in zip(recs, goldens):
+        if g is None or not r.ok:
+            continue
+        # skip goldens that are physically impossible (missing-frame pair)
+        if abs(g[0]) >= batch.gray.shape[1] or abs(g[1]) >= batch.gray.shape[2]:
+            continue
+        compared += 1
+        e = max(abs(r.offset[0] - g[0]), abs(r.offset[1] - g[1]))
+        errs.append(abs(r.offset[0] - g[0]) + abs(r.offset[1] - g[1]))
+        if e <= 1:
+            within1 += 1
+    return DatasetAccuracy(
+        name=name, num_pairs=len(recs), num_ok=sum(r.ok for r in recs),
+        mean_abs_err_px=float(np.mean(errs)) if errs else None,
+        max_abs_err_px=float(np.max(errs)) if errs else None,
+        within_1px=within1 if compared else None,
+        compared_pairs=compared,
+        offsets=[tuple(r.offset) for r in recs])
+
+
+def run(demo_root: str = "/root/reference/demoImages",
+        names: Optional[List[str]] = None,
+        feature_method: str = "surf") -> Dict[str, DatasetAccuracy]:
+    cfgs = dataset_configs(feature_method)
+    out = {}
+    for name, cfg in cfgs.items():
+        if names and name not in names:
+            continue
+        if not os.path.isdir(os.path.join(demo_root, name)):
+            continue
+        out[name] = evaluate_dataset(demo_root, name, cfg)
+    return out
+
+
+def main():
+    import argparse
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--demo-root", default="/root/reference/demoImages")
+    p.add_argument("--datasets", nargs="*")
+    p.add_argument("--feature-method", default="surf")
+    p.add_argument("--out")
+    args = p.parse_args()
+    res = run(args.demo_root, args.datasets, args.feature_method)
+    payload = {k: dataclasses.asdict(v) for k, v in res.items()}
+    txt = json.dumps(payload, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+    print(txt)
+
+
+if __name__ == "__main__":
+    main()

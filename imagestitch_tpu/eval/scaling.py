@@ -1,0 +1,79 @@
+"""Scaling-efficiency harness (BASELINE: frames/s at 1 chip / N devices).
+
+Measures the data-parallel registration step's throughput versus mesh size.
+On real pods the numbers are the BASELINE scaling-efficiency metric; on the
+virtual CPU mesh the harness validates the sharded code path end-to-end
+(virtual-device wall clock is NOT a hardware efficiency claim — chips share
+the host CPU — so the report marks the backend).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..parallel import pipeline
+from ..parallel.mesh import make_mesh
+
+
+@dataclasses.dataclass
+class ScalingPoint:
+    n_devices: int
+    frames_per_s: float
+    efficiency_vs_1: float
+
+
+@dataclasses.dataclass
+class ScalingReport:
+    backend: str
+    n_frames: int
+    image_shape: List[int]
+    points: List[ScalingPoint]
+
+
+def run(images: Optional[np.ndarray] = None, device_counts=None,
+        direction: int = 1, ratio: float = 0.25, repeats: int = 3
+        ) -> ScalingReport:
+    if images is None:
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 255, (80 * 33 + 512, 768), np.uint8)
+        images = np.stack([base[80 * i:80 * i + 512] for i in range(33)])
+    n = images.shape[0]
+    avail = jax.device_count()
+    device_counts = device_counts or [d for d in (1, 2, 4, 8, 16, 32)
+                                      if d <= avail]
+    points = []
+    fps1 = None
+    for d in device_counts:
+        mesh = make_mesh(d, axis="pairs")
+        a, b, n_pairs = pipeline.make_pair_tensors(images, mesh)
+        # warm-up
+        jax.block_until_ready(
+            pipeline.register_pairs_sharded(a, b, direction, ratio))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = pipeline.register_pairs_sharded(a, b, direction, ratio)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        fps = n / best
+        if fps1 is None:
+            fps1 = fps
+        points.append(ScalingPoint(
+            n_devices=d, frames_per_s=round(fps, 2),
+            efficiency_vs_1=round(fps / (fps1 * d), 3)))
+    return ScalingReport(backend=jax.default_backend(), n_frames=n,
+                         image_shape=list(images.shape[1:]), points=points)
+
+
+def main():
+    rep = run()
+    print(json.dumps(dataclasses.asdict(rep)))
+
+
+if __name__ == "__main__":
+    main()

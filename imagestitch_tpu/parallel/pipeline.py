@@ -81,7 +81,8 @@ def distributed_stitch_step(images: np.ndarray, mesh: Mesh,
     h, _ = images.shape[1], images.shape[2]
     mr, mc = roi.margin_correction(direction, images.shape[1:3],
                                    images.shape[1:3], ratio)
-    offsets = np.stack([sy + mr, sx + mc], axis=1)
+    # cv2-style (x, y) is minus the displacement: strip offset = (-y, -x)
+    offsets = np.stack([-sy + mr, -sx + mc], axis=1)
     graph = pg.PoseGraph.from_chain(
         [tuple(o) for o in offsets], np.maximum(resp, 1e-3))
     return pg.solve(graph, iters=cg_iters, mesh=mesh)
