@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-keypoints", type=int, default=1024)
     s.add_argument("--hessian-threshold", type=float, default=10.0)
     s.add_argument("--phase-response-threshold", type=float, default=0.15)
+    s.add_argument("--use-solver", action="store_true",
+                   help="refine the offset chain with the global pose-graph "
+                        "solver before composition (new capability)")
     s.add_argument("--report", help="write per-pair JSON report here")
     s.add_argument("--quiet", action="store_true")
     return p
@@ -75,6 +78,7 @@ def config_from_args(args) -> StitchConfig:
         direct_incre=args.direct_incre,
         color_mode=not args.gray,
         fuse_method=args.fuse_method,
+        use_global_solver=args.use_solver,
         features=FeatureConfig(method=args.feature_method,
                                max_keypoints=args.max_keypoints,
                                search_ratio=args.search_ratio,

@@ -97,6 +97,12 @@ class StitchConfig:
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     enhance: EnhanceConfig = dataclasses.field(default_factory=EnhanceConfig)
 
+    # --- global alignment (new capability; reference chains offsets only) ------
+    use_global_solver: bool = False    # pose-graph least squares over pairwise
+                                       # offsets (+confidence weights) before
+                                       # composition; sub-pixel chain refinement
+    solver_iters: int = 0              # 0 = auto (2 * n_tiles)
+
     # --- TPU execution ---------------------------------------------------------
     pair_batch: int = 0                # 0 = all pairs in one dispatch
     compute_dtype: str = "float32"     # FFT/conv compute dtype

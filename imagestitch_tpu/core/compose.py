@@ -149,10 +149,67 @@ def _finalize(canvas: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(canvas == -1, 0, canvas).astype(jnp.uint8)
 
 
+def _fuse_dispatch(roi_a, roi_b, drow, dcol, method: str, color: bool):
+    if method == "multiBandBlending":
+        return fusion_pyramid.fuse_multiband(roi_a, roi_b)
+    if method == "optimalSeamLine":
+        return fusion_seam.fuse_optimal_seam(roi_a, roi_b)
+    return blend.fuse_region(roi_a, roi_b, drow, dcol, method, color)
+
+
+@functools.partial(jax.jit, static_argnames=("rh", "rw", "method", "color"),
+                   donate_argnames=("canvas",))
+def _fused_steps_scan(canvas: jnp.ndarray, imgs: jnp.ndarray,
+                      pos: jnp.ndarray, rects: jnp.ndarray,
+                      pairwise: jnp.ndarray, rh: int, rw: int,
+                      method: str, color: bool) -> jnp.ndarray:
+    """Run a GROUP of same-rect-shape paste+fuse steps in ONE dispatch.
+
+    The serial reference issues one host call per image
+    (Stitcher.py:440-483); issuing one device call per image pays a dispatch
+    round trip each.  Consecutive steps whose fusion rects share a shape
+    (whole grid rows at a time) run as a single lax.scan.
+    """
+    zeros = (0,) * (canvas.ndim - 2)
+
+    def step(cv, x):
+        img, p, rect, pw = x
+        r, c = p[0], p[1]
+        rr, rc = rect[0], rect[1]
+        roi_a = jax.lax.dynamic_slice(cv, (rr, rc) + zeros,
+                                      (rh, rw) + cv.shape[2:]).astype(jnp.int32)
+        cv = jax.lax.dynamic_update_slice(cv, img.astype(cv.dtype),
+                                          (r, c) + zeros)
+        roi_b = jax.lax.dynamic_slice(cv, (rr, rc) + zeros,
+                                      (rh, rw) + cv.shape[2:]).astype(jnp.int32)
+        fused = _fuse_dispatch(roi_a, roi_b, pw[0], pw[1], method, color)
+        cv = jax.lax.dynamic_update_slice(cv, fused.astype(cv.dtype),
+                                          (rr, rc) + zeros)
+        return cv, None
+
+    canvas, _ = jax.lax.scan(step, canvas, (imgs, pos, rects, pairwise))
+    return canvas
+
+
+@functools.partial(jax.jit, donate_argnames=("canvas",))
+def _paste_steps_scan(canvas: jnp.ndarray, imgs: jnp.ndarray,
+                      pos: jnp.ndarray) -> jnp.ndarray:
+    """A group of plain overwrite pastes in one dispatch."""
+    zeros = (0,) * (canvas.ndim - 2)
+
+    def step(cv, x):
+        img, p = x
+        return jax.lax.dynamic_update_slice(
+            cv, img.astype(cv.dtype), (p[0], p[1]) + zeros), None
+
+    canvas, _ = jax.lax.scan(step, canvas, (imgs, pos))
+    return canvas
+
+
 def compose(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
             cfg: StitchConfig,
-            subpix_offsets: Optional[Sequence[Tuple[float, float]]] = None
-            ) -> np.ndarray:
+            subpix_offsets: Optional[Sequence[Tuple[float, float]]] = None,
+            return_device: bool = False) -> np.ndarray:
     """Compose a registered sequence into one panorama.
 
     ``images``: (N, H, W) or (N, H, W, 3) uint8 batch (capture order).
@@ -162,10 +219,14 @@ def compose(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
     Semantics parity with Stitcher.py:440-486: image i is fused only against
     the occupancy rect of image i-1; the fuse rect sees the canvas before and
     after pasting image i; fusion uses the *pairwise* offset of pair (i-1, i).
+    Execution: steps grouped by fusion-rect shape, each group one lax.scan
+    dispatch over a donated HBM canvas.
     """
     n = images.shape[0]
     assert len(offsets) == n - 1, (len(offsets), n)
     color = images.ndim == 4
+    if cfg.fuse_method in ("multiBandBlending", "optimalSeamLine"):
+        assert not color, f"{cfg.fuse_method} supports gray only (ref parity)"
     h, w = images.shape[1], images.shape[2]
     placement = compute_placement(offsets, (h, w))
     rows, cols = placement.canvas_shape
@@ -174,35 +235,93 @@ def compose(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
     images_dev = jnp.asarray(images)
 
     pairwise = [(0, 0)] + [tuple(o) for o in offsets]
+    # classify each step: (kind, data); kind = ("paste",) | ("fuse", rh, rw)
+    steps = []
     for i in range(n):
         r, c = placement.positions[i]
-        img = images_dev[i]
         if i == 0 or cfg.fuse_method == "notFuse":
-            canvas = _paste(canvas, img, jnp.int32(r), jnp.int32(c))
+            steps.append(("paste", i, (r, c), None, None))
             continue
-        # overlap rect vs. previous image's occupancy (Stitcher.py:457-469)
         rr0 = max(r, placement.range_rows[i - 1][0])
         rc0 = max(c, placement.range_cols[i - 1][0])
         rr1 = min(r + h, placement.range_rows[i - 1][1])
         rc1 = min(c + w, placement.range_cols[i - 1][1])
-        rh, rw = rr1 - rr0, rc1 - rc0
-        if rh <= 0 or rw <= 0:
-            canvas = _paste(canvas, img, jnp.int32(r), jnp.int32(c))
-            continue
-        roi_a = _read_rect(canvas, jnp.int32(rr0), jnp.int32(rc0), rh, rw)
-        canvas, roi_b = _paste_rect_region(canvas, img, jnp.int32(r), jnp.int32(c),
-                                           jnp.int32(rr0), jnp.int32(rc0), rh, rw)
-        drow, dcol = pairwise[i]
-        if cfg.fuse_method == "multiBandBlending":
-            assert not color, "multiBandBlending supports gray only (ref parity)"
-            fused = fusion_pyramid.fuse_multiband(roi_a, roi_b)
-        elif cfg.fuse_method == "optimalSeamLine":
-            assert not color, "optimalSeamLine supports gray only (ref parity)"
-            fused = fusion_seam.fuse_optimal_seam(roi_a, roi_b)
+        if rr1 - rr0 <= 0 or rc1 - rc0 <= 0:
+            steps.append(("paste", i, (r, c), None, None))
         else:
-            fused = blend.fuse_region(roi_a, roi_b, drow, dcol,
-                                      cfg.fuse_method, color)
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, fused.astype(canvas.dtype),
-            (jnp.int32(rr0), jnp.int32(rc0)) + (0,) * (canvas.ndim - 2))
-    return np.asarray(_finalize(canvas))
+            steps.append(("fuse", i, (r, c), (rr0, rc0),
+                          (rr1 - rr0, rc1 - rc0)))
+
+    return _run_steps(steps, images_dev, canvas, pairwise, cfg, color,
+                      return_device)
+
+
+def compose_from_positions(images: np.ndarray,
+                           positions: np.ndarray,
+                           cfg: StitchConfig,
+                           return_device: bool = False) -> np.ndarray:
+    """Compose from ABSOLUTE tile positions (global-solver output).
+
+    New capability: the reference can only chain pairwise offsets
+    (Stitcher.py:404-405); here globally-optimized poses (solver/pose_graph)
+    place every tile.  Fusion runs against the previous tile's true extent;
+    the fusion ramp direction uses the consecutive position delta.
+    """
+    n = images.shape[0]
+    color = images.ndim == 4
+    h, w = images.shape[1], images.shape[2]
+    pos = np.round(np.asarray(positions, np.float64)).astype(np.int64)
+    pos -= pos.min(axis=0)
+    rows = int(pos[:, 0].max()) + h
+    cols = int(pos[:, 1].max()) + w
+    shape = (rows, cols, 3) if color else (rows, cols)
+    canvas = jnp.full(shape, -1, jnp.int16)
+    images_dev = jnp.asarray(images)
+    deltas = [(0, 0)] + [tuple((pos[i] - pos[i - 1]).tolist())
+                         for i in range(1, n)]
+    steps = []
+    for i in range(n):
+        r, c = int(pos[i, 0]), int(pos[i, 1])
+        if i == 0 or cfg.fuse_method == "notFuse":
+            steps.append(("paste", i, (r, c), None, None))
+            continue
+        pr, pc = int(pos[i - 1, 0]), int(pos[i - 1, 1])
+        rr0, rc0 = max(r, pr), max(c, pc)
+        rr1, rc1 = min(r + h, pr + h), min(c + w, pc + w)
+        if rr1 - rr0 <= 0 or rc1 - rc0 <= 0:
+            steps.append(("paste", i, (r, c), None, None))
+        else:
+            steps.append(("fuse", i, (r, c), (rr0, rc0),
+                          (rr1 - rr0, rc1 - rc0)))
+    return _run_steps(steps, images_dev, canvas, deltas, cfg, color,
+                      return_device)
+
+
+def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
+               color: bool, return_device: bool = False) -> np.ndarray:
+    # group consecutive steps of identical kind (+rect shape for fuse)
+    gi = 0
+    while gi < len(steps):
+        kind = steps[gi][0]
+        rect_shape = steps[gi][4]
+        gj = gi
+        while gj + 1 < len(steps) and steps[gj + 1][0] == kind and \
+                steps[gj + 1][4] == rect_shape:
+            gj += 1
+        group = steps[gi:gj + 1]
+        idxs = jnp.asarray([s[1] for s in group], jnp.int32)
+        imgs = images_dev[idxs]
+        pos = jnp.asarray([s[2] for s in group], jnp.int32)
+        if kind == "paste":
+            canvas = _paste_steps_scan(canvas, imgs, pos)
+        else:
+            rects = jnp.asarray([s[3] for s in group], jnp.int32)
+            pws = jnp.asarray([pairwise[s[1]] for s in group], jnp.int32)
+            rh, rw = rect_shape
+            canvas = _fused_steps_scan(canvas, imgs, pos, rects, pws,
+                                       rh, rw, cfg.fuse_method, color)
+        gi = gj + 1
+    out = _finalize(canvas)
+    if return_device:
+        return out  # leave in HBM (host readback is the caller's choice)
+    return np.asarray(out)

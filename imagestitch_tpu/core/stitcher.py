@@ -112,6 +112,19 @@ class Stitcher:
                 results.append(StitchResult(image=np.asarray(seg_images[0]),
                                             file_range=(start, start + 1),
                                             offsets=[]))
+            elif self.cfg.use_global_solver:
+                from ..solver import pose_graph as pg
+                subpix = [recs[k].offset_subpix for k in range(start, end)]
+                conf = [max(recs[k].confidence, 1e-3)
+                        for k in range(start, end)]
+                graph = pg.PoseGraph.from_chain(subpix, conf)
+                iters = self.cfg.solver_iters or None
+                positions = pg.solve(graph, iters=iters)
+                img = compose_mod.compose_from_positions(
+                    seg_images, positions, self.cfg)
+                results.append(StitchResult(image=img,
+                                            file_range=(start, end + 1),
+                                            offsets=seg_offsets))
             else:
                 img = compose_mod.compose(seg_images, seg_offsets, self.cfg)
                 results.append(StitchResult(image=img,

@@ -65,6 +65,29 @@ def _mode_vote_one(d_row: jnp.ndarray, d_col: jnp.ndarray, valid: jnp.ndarray
     return drow, dcol, n
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _subpixel_refine_one(d_row, d_col, dr_f, dc_f, valid, mode_r, mode_c):
+    """Sub-pixel offset: mean float displacement over the modal cluster.
+
+    New capability for the global solver (the reference only ever emits
+    integers): matches whose truncated displacement equals the winning mode
+    vote with their un-truncated keypoint difference.
+    """
+    inl = valid & (d_row == mode_r) & (d_col == mode_c)
+    cnt = jnp.maximum(jnp.sum(inl), 1)
+    mr = jnp.sum(jnp.where(inl, dr_f, 0.0)) / cnt
+    mc = jnp.sum(jnp.where(inl, dc_f, 0.0)) / cnt
+    any_ = jnp.any(inl)
+    return (jnp.where(any_, mr, mode_r.astype(jnp.float32)),
+            jnp.where(any_, mc, mode_c.astype(jnp.float32)))
+
+
+@jax.jit
+def subpixel_refine_batch(d_row, d_col, dr_f, dc_f, valid, mode_r, mode_c):
+    return jax.vmap(_subpixel_refine_one)(d_row, d_col, dr_f, dc_f, valid,
+                                          mode_r, mode_c)
+
+
 def displacement_from_matches(rows_a, cols_a, rows_b, cols_b,
                               train_idx, valid):
     """Truncated (drow, dcol) per match slot; A keypoint q vs B keypoint
@@ -74,6 +97,11 @@ def displacement_from_matches(rows_a, cols_a, rows_b, cols_b,
     d_row = (rows_a - rb).astype(jnp.int32)  # f32->s32 truncates toward zero
     d_col = (cols_a - cb).astype(jnp.int32)
     return d_row, d_col, valid
+
+
+def displacement_from_matches_f(rows_a, cols_a, rows_b, cols_b, train_idx):
+    """Un-truncated float displacements (sub-pixel refinement input)."""
+    return rows_a - rows_b[train_idx], cols_a - cols_b[train_idx]
 
 
 @jax.jit

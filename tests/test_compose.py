@@ -84,3 +84,39 @@ def test_compose_color(rng):
     out = compose(tiles, offsets, cfg)
     assert out.shape == (170, 142, 3)
     np.testing.assert_array_equal(out[120:170, 2:], tiles[1][50:, :])
+
+
+def test_compose_from_positions_matches_chain(rng):
+    """Solver positions equal to the prefix chain reproduce compose()."""
+    from imagestitch_tpu.core.compose import compose_from_positions
+    base = rng.integers(1, 255, (400, 500), np.uint8)
+    shape = (120, 160)
+    tl = [(0, 0), (80, 3), (160, 1)]
+    offsets = [(80, 3), (80, -2)]
+    tiles = _tiles_from_base(base, tl, shape)
+    cfg = StitchConfig(color_mode=False, fuse_method="fadeInAndFadeOut",
+                       registration="phase_incre")
+    a = compose(tiles, offsets, cfg)
+    positions = np.concatenate([[[0, 0]], np.cumsum(offsets, axis=0)])
+    b = compose_from_positions(tiles, positions.astype(np.float64), cfg)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stitcher_solver_mode(rng, tmp_path):
+    """use_global_solver end-to-end on synthetic files."""
+    from imagestitch_tpu import Stitcher
+    from imagestitch_tpu.io import codec
+    base = rng.integers(1, 255, (460, 200), np.uint8)
+    d = tmp_path / "p" / "1"
+    d.mkdir(parents=True)
+    for i in range(4):
+        codec.imwrite(str(d / f"{i}.png"), base[100 * i:100 * i + 150])
+    cfg = StitchConfig(registration="phase_incre", direction=1, direct_incre=0,
+                       roi_ratio=0.4, color_mode=False,
+                       fuse_method="fadeInAndFadeOut", use_global_solver=True,
+                       print_log=False)
+    st = Stitcher(cfg)
+    outs = st.stitch_project_set(str(tmp_path / "p"), str(tmp_path / "o"), 1,
+                                 file_extension="png", output_extension="png")
+    img = codec.imread(outs[0], color=False)
+    assert img.shape == (450, 200)
