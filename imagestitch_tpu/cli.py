@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--file-extension", default="jpg")
     s.add_argument("--output-extension", default="jpg")
     s.add_argument("--registration", default="feature_incre",
-                   choices=["feature_incre", "feature", "phase_incre", "phase"])
+                   choices=["feature_incre", "feature", "phase_incre", "phase", "hybrid"])
     s.add_argument("--feature-method", default="surf",
                    choices=["surf", "sift", "orb"])
     s.add_argument("--offset-calculate", default="mode",

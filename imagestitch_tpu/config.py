@@ -83,6 +83,8 @@ class StitchConfig:
     # "phase_incre"    : incremental ROI phase correlation (Stitcher.py:205)
     # "phase"          : whole-image phase correlation (repaired version of the
     #                    vestigial Stitcher.py:184 path)
+    # "hybrid"         : feature_incre with per-pair phase_incre fallback
+    #                    (new capability — fewer segment breaks than either)
     registration: str = "feature_incre"
     offset_calculate: str = "mode"     # "mode" | "ransac" (ImageUtility.py:43)
     offset_evaluate: int = 3           # modal-count / inlier acceptance (ImageUtility.py:44)
@@ -119,7 +121,8 @@ class StitchConfig:
         return dataclasses.replace(self, **kw)
 
     def __post_init__(self):
-        if self.registration not in ("feature_incre", "feature", "phase_incre", "phase"):
+        if self.registration not in ("feature_incre", "feature", "phase_incre",
+                                     "phase", "hybrid"):
             raise ValueError(f"unknown registration strategy: {self.registration}")
         if self.offset_calculate not in ("mode", "ransac"):
             raise ValueError(f"unknown offset calculator: {self.offset_calculate}")

@@ -145,20 +145,34 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_pool", "det_family", "desc_family"))
+    "max_pool", "det_family", "desc_family", "threshold", "use_pallas_doh"))
 def _pool_features_jit(images: jnp.ndarray, max_pool: int, det_family: str,
-                       desc_family: str, threshold: float):
+                       desc_family: str, threshold: float,
+                       use_pallas_doh: bool = False):
     """Detect+describe the whole (N, H, W) batch in ONE dispatch.
 
     ``lax.map`` over frames bounds peak HBM to a single frame's conv
     temporaries (XLA reuses loop buffers) while dispatching once — on the
     tunneled TPU each dispatch costs ~0.3-0.5 s of latency, so this beats
-    chunked batched calls by an order of magnitude.
+    chunked batched calls by an order of magnitude.  With
+    ``use_pallas_doh`` the response/NMS stage runs the VMEM-streaming
+    Pallas kernel (ops/pallas/doh.py): read-once/write-once HBM traffic.
     """
+    h, w = images.shape[1], images.shape[2]
+
     def per_image(img):
         im = img[None]
-        r, c, s = detect.detect_batch(im, max_kp=max_pool,
-                                      threshold=threshold, family=det_family)
+        if use_pallas_doh and det_family == "hessian":
+            from ..ops.pallas import doh
+            score = doh.doh_score_map(img, threshold=threshold)
+            flat_s, flat_i = jax.lax.top_k(score.reshape(-1), max_pool)
+            r = (flat_i // w).astype(jnp.float32)[None]
+            c = (flat_i % w).astype(jnp.float32)[None]
+            s = flat_s[None]
+        else:
+            r, c, s = detect.detect_batch(im, max_kp=max_pool,
+                                          threshold=threshold,
+                                          family=det_family)
         d = describe.describe_batch(im, r, c, family=desc_family)
         return r[0], c[0], s[0], d[0]
 
@@ -168,8 +182,10 @@ def _pool_features_jit(images: jnp.ndarray, max_pool: int, det_family: str,
 def _precompute_pool(images_dev, cfg: StitchConfig):
     det_family, desc_family, _ = _families(cfg)
     pool = cfg.features.pool_keypoints
+    use_doh = cfg.use_pallas and jax.default_backend() == "tpu"
     return _pool_features_jit(images_dev, pool, det_family, desc_family,
-                              cfg.features.hessian_threshold)
+                              cfg.features.hessian_threshold,
+                              use_pallas_doh=use_doh)
 
 
 def _strip_bounds(direction: int, order: str, ratio: float, h: int, w: int):

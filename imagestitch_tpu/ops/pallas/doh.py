@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: fused multi-scale determinant-of-Hessian response.
+
+The XLA detector (ops/features/detect.py) evaluates 3 scales x 3 second
+-derivative separable convolutions, materializing ~30 image-sized float32
+temporaries per frame in HBM.  This kernel streams row tiles through VMEM:
+each grid step DMAs one (TILE + 2*HALO)-row strip, runs every conv, the
+scale max and the 3x3 NMS entirely in VMEM, and writes only the final
+masked score tile back — HBM traffic collapses to read-once/write-once.
+
+Mosaic constraint: no gather ops — the input is edge-padded by HALO columns
+on the host so every tap is a static slice.
+
+Parity: identical math to detect.hessian_response + detect._nms3 (same
+Gaussian-derivative taps); validated against the XLA path in tests
+(interpret mode on CPU).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..features.detect import _gauss_kernels
+
+_TILE = 64
+
+
+def _scale_taps(base_sigma: float, n_scales: int):
+    """Per-scale (g, dg, ddg, radius, sigma) numpy tap tables."""
+    taps = []
+    for s in range(n_scales):
+        sigma = base_sigma * (1.6 ** s)
+        radius = max(2, int(math.ceil(3.0 * sigma)))
+        g, dg, ddg = _gauss_kernels(sigma, radius)
+        taps.append((g, dg, ddg, radius, sigma))
+    return taps
+
+
+def _conv_rows(x, k, radius, rows_out):
+    """Correlate along rows (axis 0): x (R, W) -> (rows_out, W)."""
+    return sum(x[i:i + rows_out, :] * float(k[i])
+               for i in range(2 * radius + 1))
+
+
+def _conv_cols(x, k, radius, base_c, cols_out):
+    """Correlate along cols via static slices of the col-padded strip."""
+    return sum(x[:, base_c + i:base_c + i + cols_out] * float(k[i])
+               for i in range(2 * radius + 1))
+
+
+def _make_kernel(taps, tile: int, halo: int, threshold: float, border: int,
+                 h: int, w: int):
+    def kernel(x_hbm_ref, out_ref, scratch, sem):
+        ti = pl.program_id(0)
+        # stream the overlapping (tile + 2*halo)-row window HBM -> VMEM
+        dma = pltpu.make_async_copy(
+            x_hbm_ref.at[pl.ds(ti * tile, tile + 2 * halo), :], scratch, sem)
+        dma.start()
+        dma.wait()
+        x = scratch[:]
+        rows_out = tile + 2           # one NMS row each side
+        cols_out = w + 2              # one NMS col each side
+        resp = None
+        for g, dg, ddg, radius, sigma in taps:
+            base_r = halo - 1 - radius   # output row 0 = image row ti*tile-1
+            xa = x[base_r:base_r + rows_out + 2 * radius, :]
+            lxx_r = _conv_rows(xa, g, radius, rows_out)
+            lyy_r = _conv_rows(xa, ddg, radius, rows_out)
+            lxy_r = _conv_rows(xa, dg, radius, rows_out)
+            # output col 0 = image col -1 = padded col halo-1
+            base_c = halo - 1 - radius
+            lxx = _conv_cols(lxx_r, ddg, radius, base_c, cols_out)
+            lyy = _conv_cols(lyy_r, g, radius, base_c, cols_out)
+            lxy = _conv_cols(lxy_r, dg, radius, base_c, cols_out)
+            r = (sigma ** 4) * (lxx * lyy - lxy * lxy)
+            resp = r if resp is None else jnp.maximum(resp, r)
+        # 3x3 NMS on the (tile+2, w+2) response; center = [1:1+tile, 1:1+w]
+        m = None
+        for di in range(3):
+            for dj in range(3):
+                if di == 1 and dj == 1:
+                    continue
+                cand = resp[di:di + tile, dj:dj + w]
+                m = cand if m is None else jnp.maximum(m, cand)
+        center = resp[1:1 + tile, 1:1 + w]
+        keep = center >= m
+        # border suppression in GLOBAL image coordinates
+        gr = ti * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, w), 0)
+        gc = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+        inside = ((gr >= border) & (gr < h - border) &
+                  (gc >= border) & (gc < w - border))
+        out_ref[:] = jnp.where(keep & inside & (center > threshold),
+                               center, 0.0)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "n_scales",
+                                             "border", "interpret"))
+def doh_score_map(image: jnp.ndarray, threshold: float = 10.0,
+                  n_scales: int = 3, base_sigma: float = 1.2,
+                  border: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """(H, W) uint8/float -> (H, W) float32 NMS-masked DoH score map.
+
+    Drop-in for the response/NMS/threshold stage of detect.detect_batch.
+    """
+    x = image.astype(jnp.float32)
+    h, w = x.shape
+    taps = _scale_taps(base_sigma, n_scales)
+    halo = max(r for _, _, _, r, _ in taps) + 1   # +1 NMS row/col
+    halo = -(-halo // 4) * 4  # 2*halo multiple of 8: Mosaic sublane tiling
+    hp = -(-h // _TILE) * _TILE
+    # edge-replicated padding: halo rows top, halo+(hp-h) rows bottom,
+    # halo cols left; right padding rounds total width to a lane multiple
+    # (Mosaic DMA slices must be 128-aligned along lanes)
+    wp_total = -(-(w + 2 * halo) // 128) * 128
+    xp = jnp.pad(x, ((halo, halo + (hp - h)),
+                     (halo, wp_total - w - halo)), mode="edge")
+
+    grid = (hp // _TILE,)
+    out = pl.pallas_call(
+        _make_kernel(taps, _TILE, halo, threshold, border, h, w),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_TILE, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_TILE + 2 * halo, wp_total),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp)
+    return out[:h]

@@ -52,3 +52,18 @@ def test_iron_gray_report():
     assert rep.confidences[0] > 0.15
     assert rep.directions == [1]
     assert rep.scales == [1]
+
+
+def test_hybrid_registers_all_tem_pairs():
+    """Hybrid (feature + phase fallback) beats either path alone on the
+    sparse-texture TEM set: 8/8 pairs (feature-only: 7/8)."""
+    from imagestitch_tpu.core import registration as reg
+    files = dataset.list_project_images(
+        os.path.join(REFERENCE_DEMO, "zirconTEM"), 1)
+    batch = dataset.load_batch(files, color_mode=False)
+    cfg = StitchConfig(registration="hybrid", direction=4, direct_incre=0,
+                       roi_ratio=0.2)
+    recs = reg.register_sequence_hybrid(batch.gray, cfg)
+    assert all(r.ok for r in recs)
+    # col offsets all ~ -2100..-2310 (linear left-moving strip)
+    assert all(-2400 < r.offset[1] < -2000 for r in recs)

@@ -41,3 +41,28 @@ def test_match_ratio_pallas_agrees(rng):
     np.testing.assert_array_equal(np.asarray(i_p)[np.asarray(ok_p)],
                                   np.asarray(i_x)[np.asarray(ok_x)])
     assert np.asarray(ok_p).mean() > 0.9
+
+
+def test_doh_kernel_matches_xla_detector(rng):
+    """Pallas DoH score map == XLA response+NMS+threshold stage."""
+    import jax
+    import jax.numpy as jnp
+    from imagestitch_tpu.ops.pallas import doh
+    from imagestitch_tpu.ops.features import detect
+
+    img = rng.integers(0, 255, (300, 384), np.uint8)
+    score_p = np.asarray(doh.doh_score_map(jnp.asarray(img), threshold=10.0,
+                                           interpret=True))
+    x = jnp.asarray(img)[None].astype(jnp.float32)
+    resp = detect.hessian_response(x, 1.2)
+    for s in range(1, 3):
+        resp = jnp.maximum(resp, detect.hessian_response(x, 1.2 * 1.6 ** s))
+    keep = detect._nms3(resp)[0]
+    h, w = img.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (ri >= 8) & (ri < h - 8) & (ci >= 8) & (ci < w - 8)
+    score_x = np.asarray(jnp.where(keep & inside & (resp[0] > 10.0),
+                                   resp[0], 0.0))
+    np.testing.assert_array_equal(score_p > 0, score_x > 0)
+    np.testing.assert_allclose(score_p, score_x, rtol=1e-4, atol=1e-2)
