@@ -253,19 +253,19 @@ def _pool_attempt_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bounds4", "k_sel", "metric", "vote_method", "use_pallas"))
-def _pool_attempt4_jit(rows, cols, scores, descs, idx: jnp.ndarray,
-                       bounds4, k_sel: int, metric: str,
-                       search_ratio: float, max_distance: float,
-                       vote_method: str, use_pallas: bool):
-    """All four directions of one scale in a single dispatch.
+    "bounds_list", "k_sel", "metric", "vote_method", "use_pallas"))
+def _pool_attempt_multi_jit(rows, cols, scores, descs, idx: jnp.ndarray,
+                            bounds_list, k_sel: int, metric: str,
+                            search_ratio: float, max_distance: float,
+                            vote_method: str, use_pallas: bool):
+    """Several directions of one scale in a single dispatch.
 
     A tunnel/PCIe dispatch costs far more than the masked-pool matmuls, and
     after a direction turn the replay probes several directions — computing
-    all four up front turns 4 round trips into 1.
+    them up front turns N round trips into 1.
     """
     out = []
-    for ba, bb in bounds4:
+    for ba, bb in bounds_list:
         out.append(_pool_attempt_jit(rows, cols, scores, descs, idx, ba, bb,
                                      k_sel, metric, search_ratio,
                                      max_distance, vote_method, use_pallas))
@@ -273,7 +273,18 @@ def _pool_attempt4_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 
 
 class _PooledCache:
-    """AttemptCache-compatible store that fills all 4 directions per miss."""
+    """AttemptCache-compatible store over the keypoint pool.
+
+    Dispatch policy: the big initial sweep (every unresolved pair at the
+    current direction/scale) computes ONLY the requested direction — on a
+    straight-line or serpentine scan nearly every pair matches there, so
+    computing all four up front would be ~4x wasted MXU time.  Small misses
+    (the few pairs that survive to a direction turn or a deeper scale)
+    compute all four directions in the one dispatch, trading cheap compute
+    for saved round trips.
+    """
+
+    _SMALL = 16   # <= this many pairs: speculate all 4 directions
 
     def __init__(self, pool, cfg: StitchConfig, h: int, w: int, metric: str):
         self._pool = pool
@@ -294,20 +305,19 @@ class _PooledCache:
             h, w = self._hw
             cfg = self._cfg
             r = scale * ratio
-            bounds4 = tuple(
+            dirs = (direction,) if len(idx) > self._SMALL else (1, 2, 3, 4)
+            bounds = tuple(
                 (_strip_bounds(d, "first", r, h, w),
-                 _strip_bounds(d, "second", r, h, w)) for d in (1, 2, 3, 4))
-            results = _pool_attempt4_jit(
-                *self._pool, jnp.asarray(idx_p), bounds4,
+                 _strip_bounds(d, "second", r, h, w)) for d in dirs)
+            results = _pool_attempt_multi_jit(
+                *self._pool, jnp.asarray(idx_p), bounds,
                 cfg.features.max_keypoints, self._metric,
                 cfg.features.search_ratio,
                 float(cfg.features.orb_max_distance), cfg.offset_calculate,
                 cfg.use_pallas and jax.default_backend() == "tpu")
             self.dispatches += 1
-            for d, (dr, dc, nv, sr, sc) in zip((1, 2, 3, 4), results):
+            for d, (dr, dc, nv, sr, sc) in zip(dirs, results):
                 dstore = self._store.setdefault((d, scale), {})
-                dr = np.asarray(dr)[:keep]
-                dc = np.asarray(dc)[:keep]
                 nv = np.asarray(nv)[:keep]
                 sr = np.asarray(sr)[:keep]
                 sc = np.asarray(sc)[:keep]

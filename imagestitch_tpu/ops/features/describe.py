@@ -126,68 +126,42 @@ def _orb_bits(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     return (i1 < i2).astype(jnp.float32)
 
 
-def _surf_descriptors_conv(x: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
-                           rows: jnp.ndarray, cols: jnp.ndarray,
-                           w1: np.ndarray, extended: bool) -> jnp.ndarray:
-    """SURF vectors via dense subregion-sum maps + one slice-gather each.
+def _patch_gather(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                  size: int, margin: int) -> jnp.ndarray:
+    """(K, size, size) windows centered like the descriptor grid.
 
-    Exactly the math of ``_surf_from_grads`` on a gathered 16x16 window —
-    but because every descriptor component is a LINEAR filter of the
-    (masked) gradient maps, we precompute each component as a tiny
-    separable convolution (4-tap Gaussian-segment outer products; row
-    passes shared across column kernels), then SHIFT every component map
-    so that all D components of the window with origin (p, q) live at
-    position (p, q) of one channels-last (H', W', D) stack.  Each keypoint
-    then needs exactly ONE contiguous (1, 1, D) gather slice.  TPU gathers
-    are transaction-bound, so K slice-fetches beat the (K, 16, 16)x2 grid
-    gather of the direct approach by ~10x.
-
-    Stack is bf16 (descriptors are L2-normalized and ratio-tested; 8
-    mantissa bits are plenty) — halves the HBM traffic of materializing it.
-
-    Valid for keypoints whose 16x16 window is interior, which detection's
-    border suppression guarantees (detect_batch border=8); padded/garbage
-    keypoints produce clipped garbage rows, masked downstream.
+    One ``lax.gather`` in SLICE mode: each keypoint fetches ``size``
+    contiguous row segments instead of size*size scalar elements — TPU
+    gathers are transaction-bound, so this is ~10x faster than
+    advanced-indexing the same windows.  CLIP mode clamps the slice start
+    so out-of-range (padded/garbage) keypoints read an in-bounds window;
+    detection's border suppression keeps real keypoints interior.
     """
-    h, w = gx.shape
-    if not extended:
-        base = [gx, gy, jnp.abs(gx), jnp.abs(gy)]
-    else:
-        pos_y = gy >= 0
-        pos_x = gx >= 0
-        agx, agy = jnp.abs(gx), jnp.abs(gy)
-        zero = jnp.zeros_like(gx)
-        base = [jnp.where(pos_y, gx, zero), jnp.where(~pos_y, gx, zero),
-                jnp.where(pos_y, agx, zero), jnp.where(~pos_y, agx, zero),
-                jnp.where(pos_x, gy, zero), jnp.where(~pos_x, gy, zero),
-                jnp.where(pos_x, agy, zero), jnp.where(~pos_x, agy, zero)]
-    nb = len(base)
-    # window origin (p, q) = keypoint - (S/2 - 1); subregion (a, b) starts at
-    # (p + 4a, q + 4b); valid origins: p in [0, h - S], q in [0, w - S]
-    ho, wo = h - _S + 1, w - _S + 1
-    # shared row passes: rowc[m][a] = rows of base[m] conv w1[4a:4a+4]
-    chans = []
-    rowc = [[sum(float(w1[4 * a + t]) * m[4 * a + t: 4 * a + t + ho, :]
-                 for t in range(4)) for a in range(4)] for m in base]
-    for a in range(4):
-        for b in range(4):
-            for mi in range(nb):
-                chans.append(sum(
-                    float(w1[4 * b + u]) *
-                    rowc[mi][a][:, 4 * b + u: 4 * b + u + wo]
-                    for u in range(4)))
-    # channel order: (subregion-major, stat-minor) == _surf_from_grads order
-    stack = jnp.stack(chans, axis=-1).astype(jnp.bfloat16)  # (ho, wo, 16*nb)
-
-    k = rows.shape[0]
-    p = jnp.clip(rows.astype(jnp.int32) - (_S // 2 - 1), 0, ho - 1)
-    q = jnp.clip(cols.astype(jnp.int32) - (_S // 2 - 1), 0, wo - 1)
-    starts = jnp.stack([p, q], axis=-1)                      # (K, 2)
+    starts = jnp.stack([rows.astype(jnp.int32) - margin,
+                        cols.astype(jnp.int32) - margin], axis=-1)
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0, 1), start_index_map=(0, 1))
-    d = jax.lax.gather(stack, starts, dn,
-                       slice_sizes=(1, 1, 16 * nb)).astype(jnp.float32)
-    return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1))
+    return jax.lax.gather(image, starts, dn, slice_sizes=(size, size),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def _patch_grads(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Descriptor-window gradients from ONE patch gather per keypoint.
+
+    Equivalent to sampling dense ``_sep_conv2(x, box, der)`` maps on the
+    16x16 grid (same taps), but the smoothing/differencing runs on the
+    (K, 18, 18) patches in registers — halving gather traffic and skipping
+    the dense gradient maps entirely.
+    """
+    # window offsets -7..8 need image rows/cols (kp-8 .. kp+9)
+    p = _patch_gather(image.astype(jnp.float32), rows, cols,
+                      _S + 2, _S // 2)
+    sm = 0.25 * p[:, :-2, :] + 0.5 * p[:, 1:-1, :] + 0.25 * p[:, 2:, :]
+    gx = 0.5 * sm[:, :, :-2] - 0.5 * sm[:, :, 2:]
+    dr = 0.5 * p[:, :-2, :] - 0.5 * p[:, 2:, :]
+    gy = 0.25 * dr[:, :, :-2] + 0.5 * dr[:, :, 1:-1] + 0.25 * dr[:, :, 2:]
+    return gx, gy
 
 
 @functools.partial(jax.jit, static_argnames=("family",))
@@ -200,34 +174,20 @@ def describe_batch(images: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
     matcher masks them by score validity.
     """
     x = images.astype(jnp.float32)
-    # Haar-style gradients at the descriptor scale (box-smoothed central diff)
     box = np.array([0.25, 0.5, 0.25], np.float32)
-    der = np.array([0.5, 0.0, -0.5], np.float32)
-    from .detect import _sep_conv2
-    gx = _sep_conv2(x, box, der)
-    gy = _sep_conv2(x, der, box)
-
-    offs = np.arange(_S, dtype=np.int32) - (_S // 2 - 1)
     gw = jnp.asarray(_gauss_weight(_S, _S / 2.0) * _S * _S)
 
     if family == "orb":
+        from .detect import _sep_conv2
         smooth = _sep_conv2(x, box, box)
         return jax.vmap(_orb_bits)(x, rows, cols, smooth)
 
-    if family in ("surf", "surf-extended"):
-        # separable square root of gw: gw[u,v] = w1[u]*w1[v]
-        ax = np.arange(_S, dtype=np.float64) - (_S - 1) / 2.0
-        g1 = np.exp(-0.5 * (ax / (_S / 2.0)) ** 2)
-        w1 = (_S * g1 / g1.sum()).astype(np.float32)
-        return jax.vmap(lambda gxi, gyi, ri, ci: _surf_descriptors_conv(
-            None, gxi, gyi, ri, ci, w1,
-            extended=(family == "surf-extended")))(gx, gy, rows, cols)
-
-    def one(gx_i, gy_i, r_i, c_i):
-        sx = _sample_grid(gx_i, r_i, c_i, offs) * gw
-        sy = _sample_grid(gy_i, r_i, c_i, offs) * gw
+    def one(x_i, r_i, c_i):
+        gx, gy = _patch_grads(x_i, r_i, c_i)
+        sx = gx * gw
+        sy = gy * gw
         if family == "sift":
             return _sift_from_grads(sx, sy)
         return _surf_from_grads(sx, sy, extended=(family == "surf-extended"))
 
-    return jax.vmap(one)(gx, gy, rows, cols)
+    return jax.vmap(one)(x, rows, cols)
