@@ -191,6 +191,52 @@ def _fused_steps_scan(canvas: jnp.ndarray, imgs: jnp.ndarray,
     return canvas
 
 
+def _bucket(x: int, lo: int = 64) -> int:
+    """Round a rect dim up to a power of two (>= lo)."""
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "method", "color"),
+                   donate_argnames=("canvas",))
+def _fused_steps_scan_padded(canvas: jnp.ndarray, imgs: jnp.ndarray,
+                             pos: jnp.ndarray, anchors: jnp.ndarray,
+                             geoms: jnp.ndarray, pairwise: jnp.ndarray,
+                             bh: int, bw: int,
+                             method: str, color: bool) -> jnp.ndarray:
+    """Same-BUCKET paste+fuse steps in one dispatch.
+
+    Every fusion rect is padded to the (bh, bw) shape bucket; the padded
+    read/compute/write covers the true rect (geoms = per-step
+    (orow, ocol, rh, rw) inside the window) and is a verbatim no-op outside
+    it (blend.fuse_region_padded).  One compiled program per bucket instead
+    of one per distinct overlap shape — the dendritic grid alone has ~80
+    distinct shapes.
+    """
+    zeros = (0,) * (canvas.ndim - 2)
+
+    def step(cv, x):
+        img, p, anc, g, pw = x
+        roi_a = jax.lax.dynamic_slice(cv, (anc[0], anc[1]) + zeros,
+                                      (bh, bw) + cv.shape[2:]).astype(jnp.int32)
+        cv = jax.lax.dynamic_update_slice(cv, img.astype(cv.dtype),
+                                          (p[0], p[1]) + zeros)
+        roi_b = jax.lax.dynamic_slice(cv, (anc[0], anc[1]) + zeros,
+                                      (bh, bw) + cv.shape[2:]).astype(jnp.int32)
+        fused = blend.fuse_region_padded(roi_a, roi_b, pw[0], pw[1],
+                                         g[0], g[1], g[2], g[3],
+                                         method, color)
+        cv = jax.lax.dynamic_update_slice(cv, fused.astype(cv.dtype),
+                                          (anc[0], anc[1]) + zeros)
+        return cv, None
+
+    canvas, _ = jax.lax.scan(step, canvas,
+                             (imgs, pos, anchors, geoms, pairwise))
+    return canvas
+
+
 @functools.partial(jax.jit, donate_argnames=("canvas",))
 def _paste_steps_scan(canvas: jnp.ndarray, imgs: jnp.ndarray,
                       pos: jnp.ndarray) -> jnp.ndarray:
@@ -297,24 +343,58 @@ def compose_from_positions(images: np.ndarray,
                       return_device)
 
 
+_PADDABLE_METHODS = ("notFuse", "average", "maximum", "minimum",
+                     "fadeInAndFadeOut", "trigonometric")
+
+
 def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
                color: bool, return_device: bool = False) -> np.ndarray:
-    # group consecutive steps of identical kind (+rect shape for fuse)
+    rows, cols = canvas.shape[0], canvas.shape[1]
+    paddable = cfg.fuse_method in _PADDABLE_METHODS
+
+    # rewrite fuse steps to bucketed form: (kind, i, pos, anchor, bucket, geom)
+    # ONE bucket for the whole sequence (max over steps): every fuse step
+    # then lands in a single lax.scan dispatch
+    fuse_rects = [s[4] for s in steps if s[0] == "fuse"] if paddable else []
+    if fuse_rects:
+        gbh = min(max(_bucket(rh) for rh, _ in fuse_rects), rows)
+        gbw = min(max(_bucket(rw) for _, rw in fuse_rects), cols)
+    norm = []
+    for s in steps:
+        if s[0] == "paste" or not paddable:
+            norm.append(s + ((None,) if len(s) == 5 else ()))
+            continue
+        kind, i, p, (rr0, rc0), (rh, rw) = s
+        bh, bw = gbh, gbw
+        ar = min(rr0, rows - bh)
+        ac = min(rc0, cols - bw)
+        norm.append(("fusep", i, p, (ar, ac), (bh, bw),
+                     (rr0 - ar, rc0 - ac, rh, rw)))
+
+    # group consecutive steps of identical kind (+rect/bucket shape for fuse)
     gi = 0
-    while gi < len(steps):
-        kind = steps[gi][0]
-        rect_shape = steps[gi][4]
+    while gi < len(norm):
+        kind = norm[gi][0]
+        rect_shape = norm[gi][4]
         gj = gi
-        while gj + 1 < len(steps) and steps[gj + 1][0] == kind and \
-                steps[gj + 1][4] == rect_shape:
+        while gj + 1 < len(norm) and norm[gj + 1][0] == kind and \
+                norm[gj + 1][4] == rect_shape:
             gj += 1
-        group = steps[gi:gj + 1]
+        group = norm[gi:gj + 1]
         idxs = jnp.asarray([s[1] for s in group], jnp.int32)
         imgs = images_dev[idxs]
         pos = jnp.asarray([s[2] for s in group], jnp.int32)
         if kind == "paste":
             canvas = _paste_steps_scan(canvas, imgs, pos)
-        else:
+        elif kind == "fusep":
+            anchors = jnp.asarray([s[3] for s in group], jnp.int32)
+            geoms = jnp.asarray([s[5] for s in group], jnp.int32)
+            pws = jnp.asarray([pairwise[s[1]] for s in group], jnp.int32)
+            bh, bw = rect_shape
+            canvas = _fused_steps_scan_padded(canvas, imgs, pos, anchors,
+                                              geoms, pws, bh, bw,
+                                              cfg.fuse_method, color)
+        else:  # exact-shape path (multiband / optimal-seam)
             rects = jnp.asarray([s[3] for s in group], jnp.int32)
             pws = jnp.asarray([pairwise[s[1]] for s in group], jnp.int32)
             rh, rw = rect_shape

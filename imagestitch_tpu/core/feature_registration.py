@@ -304,11 +304,19 @@ class _PooledCache:
             idx_p, keep = reg.pad_indices(idx)
             h, w = self._hw
             cfg = self._cfg
-            r = scale * ratio
-            dirs = (direction,) if len(idx) > self._SMALL else (1, 2, 3, 4)
+            if len(idx) > self._SMALL:
+                configs = [(direction, scale)]
+            else:
+                # stragglers: every (direction, remaining scale) at once —
+                # the replay will rotate through most of them anyway
+                from ..config import max_roi_scale
+                configs = [(d, s) for s in range(scale,
+                                                 max_roi_scale(ratio))
+                           for d in (1, 2, 3, 4)]
             bounds = tuple(
-                (_strip_bounds(d, "first", r, h, w),
-                 _strip_bounds(d, "second", r, h, w)) for d in dirs)
+                (_strip_bounds(d, "first", s * ratio, h, w),
+                 _strip_bounds(d, "second", s * ratio, h, w))
+                for d, s in configs)
             results = _pool_attempt_multi_jit(
                 *self._pool, jnp.asarray(idx_p), bounds,
                 cfg.features.max_keypoints, self._metric,
@@ -316,8 +324,8 @@ class _PooledCache:
                 float(cfg.features.orb_max_distance), cfg.offset_calculate,
                 cfg.use_pallas and jax.default_backend() == "tpu")
             self.dispatches += 1
-            for d, (dr, dc, nv, sr, sc) in zip(dirs, results):
-                dstore = self._store.setdefault((d, scale), {})
+            for (d, s), (dr, dc, nv, sr, sc) in zip(configs, results):
+                dstore = self._store.setdefault((d, s), {})
                 nv = np.asarray(nv)[:keep]
                 sr = np.asarray(sr)[:keep]
                 sc = np.asarray(sc)[:keep]

@@ -109,21 +109,34 @@ def _orb_pattern(seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
 _ORB_P1, _ORB_P2 = _orb_pattern()
 
 
+def _orb_diff_matrix() -> np.ndarray:
+    """(patch_px, 256) matrix D with D[flat(p2_b), b]=+1, D[flat(p1_b), b]=-1:
+    ``patch_flat @ D > 0``  ==  ``I(p1) < I(p2)`` — the BRIEF test as one
+    MXU contraction over the gathered patches."""
+    side = 2 * _ORB_PATCH + 1
+    d = np.zeros((side * side, _ORB_BITS), np.float32)
+    for b in range(_ORB_BITS):
+        r1, c1 = _ORB_P1[b] + _ORB_PATCH
+        r2, c2 = _ORB_P2[b] + _ORB_PATCH
+        d[r1 * side + c1, b] -= 1.0
+        d[r2 * side + c2, b] += 1.0
+    return d
+
+
 def _orb_bits(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
               smooth: jnp.ndarray) -> jnp.ndarray:
-    """(K, 256) float {0,1} BRIEF bits (float form feeds the Hamming matmul)."""
-    h, w = image.shape
-    r0 = rows.astype(jnp.int32)
-    c0 = cols.astype(jnp.int32)
+    """(K, 256) float {0,1} BRIEF bits (float form feeds the Hamming matmul).
 
-    def sample(pts):
-        r = jnp.clip(r0[:, None] + pts[:, 0][None, :], 0, h - 1)
-        c = jnp.clip(c0[:, None] + pts[:, 1][None, :], 0, w - 1)
-        return smooth[r, c]
-
-    i1 = sample(jnp.asarray(_ORB_P1))
-    i2 = sample(jnp.asarray(_ORB_P2))
-    return (i1 < i2).astype(jnp.float32)
+    One (31, 31) patch-slice gather per keypoint, then the 256 point-pair
+    comparisons as a single (K, 961) x (961, 256) matmul against a static
+    +-1 difference matrix — no scalar gathers anywhere.
+    """
+    side = 2 * _ORB_PATCH + 1
+    k = rows.shape[0]
+    patch = _patch_gather(smooth, rows, cols, side, _ORB_PATCH)
+    diffs = jnp.dot(patch.reshape(k, side * side), jnp.asarray(_orb_diff_matrix()),
+                    preferred_element_type=jnp.float32)
+    return (diffs > 0).astype(jnp.float32)
 
 
 def _patch_gather(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,

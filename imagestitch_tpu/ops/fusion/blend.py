@@ -139,3 +139,70 @@ def fuse_region(image_a: jnp.ndarray, image_b: jnp.ndarray, drow, dcol,
     if method == "trigonometric":
         return fuse_trigonometric(image_a, image_b, drow, dcol, color)
     raise ValueError(f"unknown elementwise fusion method: {method}")
+
+
+def fuse_region_padded(image_a: jnp.ndarray, image_b: jnp.ndarray,
+                       drow, dcol, orow, ocol, rh, rw,
+                       method: str, color: bool) -> jnp.ndarray:
+    """``fuse_region`` on a PADDED window: the true rect spans rows
+    [orow, orow+rh) x cols [ocol, ocol+rw) (traced scalars).
+
+    Outside the true rect the result equals ``image_b`` (the canvas content
+    after the paste), so writing the whole padded window back is a no-op
+    there — this lets composition bucket rect shapes and reuse one compiled
+    program per bucket.  All decision statistics (valid fraction, quadrant
+    counts, boundary scans) and ramps are evaluated with rect-local
+    coordinates and dynamic dims — identical math to the static kernels
+    (equivalence-tested in tests/test_fusion.py).
+    """
+    from .weights import (corner_fade_weights_dyn, plain_fade_weights_dyn,
+                          _valid_mask)
+    bh, bw = image_a.shape[0], image_a.shape[1]
+    il = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0) - orow
+    jl = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1) - ocol
+    in_rect = (il >= 0) & (il < rh) & (jl >= 0) & (jl < rw)
+    mask = in_rect[..., None] if color else in_rect
+
+    if method in ("average", "maximum", "minimum", "notFuse"):
+        a, b = _prefill_background(image_a, image_b)
+        if method == "notFuse":
+            fused = b.astype(jnp.uint8)
+        elif method == "average":
+            fused = fuse_average(a, b)
+        elif method == "maximum":
+            fused = fuse_maximum(a, b)
+        else:
+            fused = fuse_minimum(a, b)
+    elif method in ("fadeInAndFadeOut", "trigonometric"):
+        # mark padded area invalid so validity statistics see only the rect
+        neg1 = jnp.full_like(image_a, -1)
+        a_rect = jnp.where(mask, image_a, neg1)
+        # static version: mean over every element (channels included)
+        n_el = (rh * rw).astype(jnp.float32) * (3.0 if color else 1.0)
+        valid_frac = jnp.sum((a_rect > -1) & mask) / n_el
+        wa_p, wb_p = plain_fade_weights_dyn((bh, bw), orow, ocol, rh, rw,
+                                            drow, dcol)
+        if method == "trigonometric":
+            # trig plain ramps mirror the fade ones (blend.fuse_trigonometric)
+            rhf = rh.astype(jnp.float32)
+            rwf = rw.astype(jnp.float32)
+            i1 = il.astype(jnp.float32)
+            j1 = jl.astype(jnp.float32)
+            wa_h = jnp.where(dcol >= 0, j1 / rwf, (rwf - j1) / rwf)
+            wa_v = jnp.where(drow <= 0, i1 / rhf, (rhf - i1) / rhf)
+            wa_p = jnp.where(rw <= rh, wa_h, wa_v)
+        wa_c, wb_c = corner_fade_weights_dyn(a_rect, color, orow, ocol, rh, rw)
+        plain = valid_frac > 0.65
+        wa = jnp.where(plain, wa_p, wa_c)
+        if method == "trigonometric":
+            wa = jnp.sin(wa * jnp.pi / 2.0) ** 2
+            wb = 1.0 - wa
+        else:
+            wb = jnp.where(plain, wb_p, wb_c)
+        fused = _apply_weights(image_a, image_b, wa, wb, color)
+    else:
+        raise ValueError(f"unpaddable fusion method: {method}")
+
+    # outside the true rect: return the post-paste canvas content VERBATIM
+    # (including -1 sentinels) so the padded write-back is a no-op there
+    return jnp.where(mask, fused.astype(jnp.int32), image_b)

@@ -104,3 +104,51 @@ def test_reference_6x6_fixture():
                             "fadeInAndFadeOut", False)
     expect = fade_fuse_oracle(a1, a2, 1, 1, False)
     np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_padded_fusion_equivalence(rng):
+    """fuse_region_padded on a bucketed window == fuse_region on the true
+    rect, and is a verbatim no-op outside it (composition relies on this to
+    share one compiled program per shape bucket)."""
+    geoms = [(17, 40, 32, 64), (40, 17, 48, 24)]
+    for (rh, rw, bh, bw) in geoms:
+        for color in (False, True):
+            for rep in range(3):
+                orow = int(rng.integers(0, bh - rh + 1))
+                ocol = int(rng.integers(0, bw - rw + 1))
+                shp = (rh, rw, 3) if color else (rh, rw)
+                a = rng.integers(-1, 256, shp).astype(np.int32)
+                b = rng.integers(-1, 256, shp).astype(np.int32)
+                if rep % 2:  # invalid corner triggers getWeightsMatrix path
+                    a[:int(rng.integers(1, rh)), :int(rng.integers(1, rw))] = -1
+                drow = int(rng.integers(-50, 50))
+                dcol = int(rng.integers(-50, 50))
+                pshp = (bh, bw, 3) if color else (bh, bw)
+                ap = rng.integers(-1, 256, pshp).astype(np.int32)
+                bp = rng.integers(-1, 256, pshp).astype(np.int32)
+                ap[orow:orow + rh, ocol:ocol + rw] = a
+                bp[orow:orow + rh, ocol:ocol + rw] = b
+                for method in ("average", "maximum", "minimum", "notFuse",
+                               "fadeInAndFadeOut", "trigonometric"):
+                    ref = np.asarray(blend.fuse_region(
+                        jnp.asarray(a), jnp.asarray(b), drow, dcol,
+                        method, color))
+                    pad = np.asarray(blend.fuse_region_padded(
+                        jnp.asarray(ap), jnp.asarray(bp),
+                        jnp.int32(drow), jnp.int32(dcol), jnp.int32(orow),
+                        jnp.int32(ocol), jnp.int32(rh), jnp.int32(rw),
+                        method, color))
+                    inner = pad[orow:orow + rh, ocol:ocol + rw]
+                    if method in ("fadeInAndFadeOut", "trigonometric"):
+                        # float weights: XLA constant-folds the static
+                        # version's 1/len divide -> +-1 LSB on .5 boundaries
+                        d = np.abs(inner.astype(np.int64) -
+                                   ref.astype(np.int64))
+                        assert d.max() <= 1, (method, color, d.max())
+                    else:
+                        np.testing.assert_array_equal(
+                            inner.astype(np.int32), ref.astype(np.int32),
+                            err_msg=f"{method} color={color}")
+                    mask = np.zeros((bh, bw), bool)
+                    mask[orow:orow + rh, ocol:ocol + rw] = True
+                    np.testing.assert_array_equal(pad[~mask], bp[~mask])
