@@ -58,7 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tile-size", type=int, default=5)
     s.add_argument("--max-keypoints", type=int, default=1024)
     s.add_argument("--hessian-threshold", type=float, default=10.0)
+    s.add_argument("--box-filter", action="store_true",
+                   help="use the reference's integral-image SURF box-filter "
+                        "response instead of Gaussian-derivative DoH")
+    s.add_argument("--upright", action="store_true",
+                   help="skip descriptor orientation (surfIsUpright)")
     s.add_argument("--phase-response-threshold", type=float, default=0.15)
+    s.add_argument("--evaluate", action="store_true",
+                   help="append per-pair log lines to the evaluate file "
+                        "(reference printAndWrite sink)")
+    s.add_argument("--evaluate-file", default="evaluate.txt")
     s.add_argument("--use-solver", action="store_true",
                    help="refine the offset chain with the global pose-graph "
                         "solver before composition (new capability)")
@@ -82,11 +91,16 @@ def config_from_args(args) -> StitchConfig:
         features=FeatureConfig(method=args.feature_method,
                                max_keypoints=args.max_keypoints,
                                search_ratio=args.search_ratio,
-                               hessian_threshold=args.hessian_threshold),
+                               hessian_threshold=args.hessian_threshold,
+                               box_filter=args.box_filter,
+                               upright=args.upright),
         enhance=EnhanceConfig(enabled=args.enhance, use_clahe=args.clahe,
                               clip_limit=args.clip_limit,
                               tile_size=args.tile_size),
         print_log=not args.quiet,
+        evaluate=args.evaluate,
+        evaluate_file=args.evaluate_file,
+        output_address=args.output,
     )
 
 

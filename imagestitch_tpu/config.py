@@ -37,6 +37,13 @@ class FeatureConfig:
                                        # reference (slower; the pooled path is
                                        # offset-equivalent, see
                                        # core/feature_registration.py)
+    box_filter: bool = False           # True: the reference detector's actual
+                                       # integral-image SURF box filters
+                                       # (ImageUtility.py:255-262) instead of
+                                       # Gaussian-derivative DoH
+    subpixel: bool = True              # quadratic sub-pixel keypoint positions
+                                       # (cv2 keypoints are float; integer
+                                       # quantization biases the mode vote)
     search_ratio: float = 0.75         # Lowe ratio test (ImageUtility.py:17)
     hessian_threshold: float = 10.0    # detector response floor.  The
                                        # reference's 100 (ImageUtility.py:23) is
@@ -106,10 +113,14 @@ class StitchConfig:
     solver_iters: int = 0              # 0 = auto (2 * n_tiles)
 
     # --- TPU execution ---------------------------------------------------------
+    # changelog: the round-1 ``canvas_block`` field was removed — the sharded
+    # composer derives its row-block size from the mesh (rows / n_devices),
+    # so a user-set block edge had nothing left to control.
     pair_batch: int = 0                # 0 = all pairs in one dispatch
-    compute_dtype: str = "float32"     # FFT/conv compute dtype
+    compute_dtype: str = "float32"     # detector conv/response dtype
+                                       # ("bfloat16" halves response-map HBM
+                                       # traffic; FFTs always run float32)
     use_pallas: bool = True            # enable Pallas kernels where profitable
-    canvas_block: int = 512            # sharded-canvas block edge (composition)
 
     # --- logging / evaluation (ImageUtility.py:9-12) ---------------------------
     print_log: bool = False

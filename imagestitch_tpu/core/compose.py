@@ -347,14 +347,19 @@ _PADDABLE_METHODS = ("notFuse", "average", "maximum", "minimum",
                      "fadeInAndFadeOut", "trigonometric")
 
 
-def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
-               color: bool, return_device: bool = False) -> np.ndarray:
-    rows, cols = canvas.shape[0], canvas.shape[1]
-    paddable = cfg.fuse_method in _PADDABLE_METHODS
+def plan_groups(steps, fuse_method: str, rows: int, cols: int):
+    """Normalize + group the per-image step list for scan execution.
 
-    # rewrite fuse steps to bucketed form: (kind, i, pos, anchor, bucket, geom)
-    # ONE bucket for the whole sequence (max over steps): every fuse step
-    # then lands in a single lax.scan dispatch
+    Paddable blend modes rewrite every fuse step to ONE shared shape bucket
+    ("fusep": anchor + per-step geometry inside the padded window); exact
+    -shape modes (multiband / optimal-seam) group runs of identical rect
+    shapes.  Returns a list of groups
+    ``(kind, rect_shape, idxs, pos, aux, geoms)`` where aux is anchors
+    (fusep) or rects (fuse) and geoms is the per-step (orow, ocol, rh, rw)
+    for fusep, else None.  Shared by the single-chip and the sharded
+    composer so both issue one device dispatch per group.
+    """
+    paddable = fuse_method in _PADDABLE_METHODS
     fuse_rects = [s[4] for s in steps if s[0] == "fuse"] if paddable else []
     if fuse_rects:
         gbh = min(max(_bucket(rh) for rh, _ in fuse_rects), rows)
@@ -371,7 +376,7 @@ def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
         norm.append(("fusep", i, p, (ar, ac), (bh, bw),
                      (rr0 - ar, rc0 - ac, rh, rw)))
 
-    # group consecutive steps of identical kind (+rect/bucket shape for fuse)
+    groups = []
     gi = 0
     while gi < len(norm):
         kind = norm[gi][0]
@@ -381,26 +386,38 @@ def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
                 norm[gj + 1][4] == rect_shape:
             gj += 1
         group = norm[gi:gj + 1]
-        idxs = jnp.asarray([s[1] for s in group], jnp.int32)
-        imgs = images_dev[idxs]
-        pos = jnp.asarray([s[2] for s in group], jnp.int32)
+        idxs = [s[1] for s in group]
+        pos = [s[2] for s in group]
+        aux = [s[3] for s in group] if kind != "paste" else None
+        geoms = [s[5] for s in group] if kind == "fusep" else None
+        groups.append((kind, rect_shape, idxs, pos, aux, geoms))
+        gi = gj + 1
+    return groups
+
+
+def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
+               color: bool, return_device: bool = False) -> np.ndarray:
+    rows, cols = canvas.shape[0], canvas.shape[1]
+    for kind, rect_shape, idxs, pos, aux, geoms in plan_groups(
+            steps, cfg.fuse_method, rows, cols):
+        imgs = images_dev[jnp.asarray(idxs, jnp.int32)]
+        pos = jnp.asarray(pos, jnp.int32)
         if kind == "paste":
             canvas = _paste_steps_scan(canvas, imgs, pos)
         elif kind == "fusep":
-            anchors = jnp.asarray([s[3] for s in group], jnp.int32)
-            geoms = jnp.asarray([s[5] for s in group], jnp.int32)
-            pws = jnp.asarray([pairwise[s[1]] for s in group], jnp.int32)
+            anchors = jnp.asarray(aux, jnp.int32)
+            geoms = jnp.asarray(geoms, jnp.int32)
+            pws = jnp.asarray([pairwise[i] for i in idxs], jnp.int32)
             bh, bw = rect_shape
             canvas = _fused_steps_scan_padded(canvas, imgs, pos, anchors,
                                               geoms, pws, bh, bw,
                                               cfg.fuse_method, color)
         else:  # exact-shape path (multiband / optimal-seam)
-            rects = jnp.asarray([s[3] for s in group], jnp.int32)
-            pws = jnp.asarray([pairwise[s[1]] for s in group], jnp.int32)
+            rects = jnp.asarray(aux, jnp.int32)
+            pws = jnp.asarray([pairwise[i] for i in idxs], jnp.int32)
             rh, rw = rect_shape
             canvas = _fused_steps_scan(canvas, imgs, pos, rects, pws,
                                        rh, rw, cfg.fuse_method, color)
-        gi = gj + 1
     out = _finalize(canvas)
     if return_device:
         return out  # leave in HBM (host readback is the caller's choice)

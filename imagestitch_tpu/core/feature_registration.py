@@ -51,13 +51,46 @@ def _families(cfg: StitchConfig) -> Tuple[str, str, str]:
     return "hessian", "surf", "l2"
 
 
+def _detect_params(cfg: StitchConfig) -> detect.DetectParams:
+    """Static detector parameters from config (ImageUtility.py:23-40 knobs)."""
+    f = cfg.features
+    fam, _, _ = _families(cfg)
+    return detect.DetectParams(
+        family=fam, threshold=f.hessian_threshold,
+        n_octaves=f.n_octaves, n_octave_layers=f.n_octave_layers,
+        box_filter=f.box_filter, subpixel=f.subpixel,
+        n_levels=f.orb_n_levels, scale_factor=f.orb_scale_factor,
+        first_level=f.orb_first_level,
+        fast_threshold=float(f.orb_fast_threshold),
+        edge_threshold=f.orb_edge_threshold,
+        dtype=cfg.compute_dtype)
+
+
+def _describe_params(cfg: StitchConfig) -> describe.DescribeParams:
+    """Static descriptor parameters from config."""
+    f = cfg.features
+    _, fam, _ = _families(cfg)
+    return describe.DescribeParams(
+        family=fam, upright=f.upright,
+        patch_size=f.orb_patch_size, wta_k=f.orb_wta_k)
+
+
+def _capacity(cfg: StitchConfig, requested: int) -> int:
+    """Keypoint capacity, capped by orb_n_features for the ORB family
+    (ImageUtility.py:31 nfeatures=5000)."""
+    if cfg.features.method == "orb":
+        return min(requested, cfg.features.orb_n_features)
+    return requested
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "direction", "ratio", "max_kp", "det_family", "desc_family", "metric",
+    "direction", "ratio", "max_kp", "dparams", "sparams", "metric",
     "vote_method", "enhance_mode", "enhance_tiles", "use_pallas"))
 def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
                          direction: int, ratio: float,
-                         max_kp: int, det_family: str, desc_family: str,
-                         metric: str, threshold: float, search_ratio: float,
+                         max_kp: int, dparams: detect.DetectParams,
+                         sparams: "describe.DescribeParams",
+                         metric: str, search_ratio: float,
                          max_distance: float, vote_method: str = "mode",
                          enhance_mode: str = "none",
                          enhance_clip: float = 20.0, enhance_tiles: int = 5,
@@ -74,14 +107,10 @@ def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
                                    enhance_clip, enhance_tiles)
         rb = enhance.enhance_batch(rb, enhance_mode == "clahe",
                                    enhance_clip, enhance_tiles)
-    rows_a, cols_a, sc_a = detect.detect_batch(
-        ra, max_kp=max_kp, threshold=threshold,
-        family=det_family)
-    rows_b, cols_b, sc_b = detect.detect_batch(
-        rb, max_kp=max_kp, threshold=threshold,
-        family=det_family)
-    da = describe.describe_batch(ra, rows_a, cols_a, family=desc_family)
-    db = describe.describe_batch(rb, rows_b, cols_b, family=desc_family)
+    rows_a, cols_a, sc_a = detect.detect_batch(ra, max_kp, dparams)
+    rows_b, cols_b, sc_b = detect.detect_batch(rb, max_kp, dparams)
+    da = describe.describe_batch(ra, rows_a, cols_a, sparams)
+    db = describe.describe_batch(rb, rows_b, cols_b, sparams)
     valid_a = sc_a > 0
     valid_b = sc_b > 0
     train_idx, ok = match.match_batch(da, db, valid_a, valid_b,
@@ -94,14 +123,23 @@ def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
     return vote.mode_vote_batch(d_row, d_col, v)
 
 
+def _effective_max_distance(cfg: StitchConfig) -> float:
+    """orbMaxDistance in descriptor-distance units: WTA_K>2 one-hot symbols
+    make the Hamming matmul count 2 per mismatched symbol."""
+    d = float(cfg.features.orb_max_distance)
+    return d * 2.0 if cfg.features.orb_wta_k > 2 else d
+
+
 def _strict_attempt(images_dev, direction: int, ratio: float,
                     idx: np.ndarray, cfg: StitchConfig
                     ) -> Dict[str, np.ndarray]:
     """Per-ROI detection attempt for an explicit pair subset (strict parity
     mode: the detector sees exactly the strip, as the reference does)."""
-    det_family, desc_family, metric = _families(cfg)
+    _, _, metric = _families(cfg)
+    dparams = _detect_params(cfg)
+    sparams = _describe_params(cfg)
     h, w = images_dev.shape[1:3]
-    max_kp = cfg.features.max_keypoints
+    max_kp = _capacity(cfg, cfg.features.max_keypoints)
     if direction in (1, 3):
         strip_px = roi.strip_length(h, ratio) * w
     else:
@@ -119,9 +157,9 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
         b = len(sub)
         dr, dc, nv = _feature_attempt_pairs_jit(
             imgs[:b], imgs[b:], direction, ratio, max_kp,
-            det_family, desc_family, metric,
-            cfg.features.hessian_threshold, cfg.features.search_ratio,
-            float(cfg.features.orb_max_distance),
+            dparams, sparams, metric,
+            cfg.features.search_ratio,
+            _effective_max_distance(cfg),
             vote_method=cfg.offset_calculate,
             enhance_mode=_enhance_mode(cfg),
             enhance_clip=cfg.enhance.clip_limit,
@@ -144,53 +182,87 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
 # differs only within a filter-radius band at strip borders.
 # ---------------------------------------------------------------------------
 
+def _detect_image_hessian_pallas(img: jnp.ndarray, max_kp: int,
+                                 params: detect.DetectParams):
+    """Multi-octave blob detection with the Pallas DoH kernel per octave.
+
+    Same structure as detect.detect_image_hessian; each octave's
+    response/NMS stage runs the VMEM-streaming kernel (ops/pallas/doh.py):
+    read-once/write-once HBM traffic.  Pool selection uses approx_max_k
+    (TPU-tuned bitonic partial reduction, ~98% recall) — the pool is a
+    top-K capacity heuristic, not reference semantics, and it saturates on
+    real micrographs, so the ~2% it trades are the weakest responses.
+    """
+    from ..ops.pallas import doh
+    x = img.astype(jnp.float32)
+    spacing = 2.0 ** (1.0 / max(params.n_octave_layers, 1))
+    cand = []
+    xo = x
+    for o in range(params.n_octaves):
+        if o > 0:
+            if min(xo.shape) < 256:
+                break
+            xo = detect._pool2(xo)
+        ho, wo = xo.shape
+        bo = max(1, -(-params.border // (1 << o)))
+        score, raw = doh.doh_score_map(
+            xo, threshold=params.threshold,
+            n_scales=params.n_octave_layers,
+            base_sigma=params.base_sigma, border=bo, spacing=spacing)
+        kk = min(max_kp, ho * wo)
+        flat_s, flat_i = jax.lax.approx_max_k(
+            score.reshape(-1), kk, recall_target=0.95)
+        r = (flat_i // wo).astype(jnp.int32)
+        c = (flat_i % wo).astype(jnp.int32)
+        if params.subpixel:
+            dr, dc = detect.refine_subpixel(raw, r, c)
+        else:
+            dr = dc = jnp.zeros_like(flat_s)
+        f = float(1 << o)
+        rows = (r.astype(jnp.float32) + dr) * f + (f - 1) / 2
+        cols = (c.astype(jnp.float32) + dc) * f + (f - 1) / 2
+        if kk < max_kp:
+            rows = jnp.pad(rows, (0, max_kp - kk))
+            cols = jnp.pad(cols, (0, max_kp - kk))
+            flat_s = jnp.pad(flat_s, (0, max_kp - kk))
+        cand.append((rows, cols, flat_s))
+    rows = jnp.concatenate([t[0] for t in cand])
+    cols = jnp.concatenate([t[1] for t in cand])
+    scores = jnp.concatenate([t[2] for t in cand])
+    top_s, top_i = jax.lax.top_k(scores, max_kp)
+    return rows[top_i], cols[top_i], top_s
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "max_pool", "det_family", "desc_family", "threshold", "use_pallas_doh"))
-def _pool_features_jit(images: jnp.ndarray, max_pool: int, det_family: str,
-                       desc_family: str, threshold: float,
+    "max_pool", "dparams", "sparams", "use_pallas_doh"))
+def _pool_features_jit(images: jnp.ndarray, max_pool: int,
+                       dparams: detect.DetectParams,
+                       sparams: describe.DescribeParams,
                        use_pallas_doh: bool = False):
     """Detect+describe the whole (N, H, W) batch in ONE dispatch.
 
     ``lax.map`` over frames bounds peak HBM to a single frame's conv
     temporaries (XLA reuses loop buffers) while dispatching once — on the
     tunneled TPU each dispatch costs ~0.3-0.5 s of latency, so this beats
-    chunked batched calls by an order of magnitude.  With
-    ``use_pallas_doh`` the response/NMS stage runs the VMEM-streaming
-    Pallas kernel (ops/pallas/doh.py): read-once/write-once HBM traffic.
+    chunked batched calls by an order of magnitude.
     """
-    h, w = images.shape[1], images.shape[2]
-
     def per_image(img):
-        im = img[None]
-        if use_pallas_doh and det_family == "hessian":
-            from ..ops.pallas import doh
-            score = doh.doh_score_map(img, threshold=threshold)
-            # capacity pool selection: approx_max_k (TPU-tuned bitonic
-            # partial reduction, ~98% recall) — the pool is a top-K
-            # capacity heuristic, not reference semantics, and it
-            # saturates on real micrographs, so the ~2% it trades are
-            # the weakest responses
-            flat_s, flat_i = jax.lax.approx_max_k(
-                score.reshape(-1), max_pool, recall_target=0.95)
-            r = (flat_i // w).astype(jnp.float32)[None]
-            c = (flat_i % w).astype(jnp.float32)[None]
-            s = flat_s[None]
+        if (use_pallas_doh and dparams.family == "hessian"
+                and not dparams.box_filter):
+            r, c, s = _detect_image_hessian_pallas(img, max_pool, dparams)
         else:
-            r, c, s = detect.detect_batch(im, max_kp=max_pool,
-                                          threshold=threshold,
-                                          family=det_family)
-        d = describe.describe_batch(im, r, c, family=desc_family)
-        return r[0], c[0], s[0], d[0]
+            r, c, s = detect.detect_image(img, max_pool, dparams)
+        d = describe.describe_batch(img[None], r[None], c[None], sparams)
+        return r, c, s, d[0]
 
     return jax.lax.map(per_image, images)
 
 
 def _precompute_pool(images_dev, cfg: StitchConfig):
-    det_family, desc_family, _ = _families(cfg)
-    pool = cfg.features.pool_keypoints
+    pool = _capacity(cfg, cfg.features.pool_keypoints)
     use_doh = cfg.use_pallas and jax.default_backend() == "tpu"
-    return _pool_features_jit(images_dev, pool, det_family, desc_family,
-                              cfg.features.hessian_threshold,
+    return _pool_features_jit(images_dev, pool, _detect_params(cfg),
+                              _describe_params(cfg),
                               use_pallas_doh=use_doh)
 
 
@@ -319,9 +391,9 @@ class _PooledCache:
                 for d, s in configs)
             results = _pool_attempt_multi_jit(
                 *self._pool, jnp.asarray(idx_p), bounds,
-                cfg.features.max_keypoints, self._metric,
+                _capacity(cfg, cfg.features.max_keypoints), self._metric,
                 cfg.features.search_ratio,
-                float(cfg.features.orb_max_distance), cfg.offset_calculate,
+                _effective_max_distance(cfg), cfg.offset_calculate,
                 cfg.use_pallas and jax.default_backend() == "tpu")
             self.dispatches += 1
             for (d, s), (dr, dc, nv, sr, sc) in zip(configs, results):
@@ -394,8 +466,10 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
     n, h, w = images.shape
     if n < 2:
         return []
-    det_family, desc_family, metric = _families(cfg)
-    max_kp = cfg.features.max_keypoints
+    _, _, metric = _families(cfg)
+    dparams = _detect_params(cfg)
+    sparams = _describe_params(cfg)
+    max_kp = _capacity(cfg, cfg.features.max_keypoints)
 
     # detect/describe every image once, in chunks
     rows, cols, scores, descs = [], [], [], []
@@ -408,10 +482,8 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
             im = enhance.enhance_batch(im, emode == "clahe",
                                        cfg.enhance.clip_limit,
                                        cfg.enhance.tile_size)
-        r, c, sc = detect.detect_batch(im, max_kp=max_kp,
-                                       threshold=cfg.features.hessian_threshold,
-                                       family=det_family)
-        d = describe.describe_batch(im, r, c, family=desc_family)
+        r, c, sc = detect.detect_batch(im, max_kp, dparams)
+        d = describe.describe_batch(im, r, c, sparams)
         rows.append(r); cols.append(c); scores.append(sc); descs.append(d)
     rows = jnp.concatenate(rows)
     cols = jnp.concatenate(cols)
@@ -426,7 +498,7 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
         e = min(s + pchunk, n - 1)
         ti, ok = match.match_batch(
             descs[s:e], descs[s + 1:e + 1], valid[s:e], valid[s + 1:e + 1],
-            cfg.features.search_ratio, float(cfg.features.orb_max_distance),
+            cfg.features.search_ratio, _effective_max_distance(cfg),
             metric, use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
             rows[s:e], cols[s:e], rows[s + 1:e + 1], cols[s + 1:e + 1], ti, ok)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,9 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
         status = False
         attempts = 0
         best = None
+        # the replay decides pairs strictly in order, so at pair k the
+        # actually-unresolved set is exactly {k, ..., num_pairs-1}; the cache
+        # additionally skips members already evaluated at this (dir, scale)
         unresolved = range(k, num_pairs)
         for i in range(1, max_i):
             while True:
@@ -223,6 +226,24 @@ def register_sequence_phase(images: np.ndarray, cfg: StitchConfig
     return _replay_incremental(n - 1, cfg, cache, accept, extract, (h, w))
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "wp"))
+def _phase_whole_jit(images: jnp.ndarray, hp: int, wp: int):
+    """All adjacent pairs, whole-image linear phase correlation.
+
+    Mean subtraction before zero-padding removes the content->pad step edge
+    shared by both images (a broadband artifact that otherwise correlates at
+    exactly zero shift and beats small-overlap true peaks); the response is
+    renormalized from padded area to true image area so the acceptance
+    threshold keeps cv2's scale.
+    """
+    x = images.astype(jnp.float32)
+    x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+    f = jax.vmap(lambda u, v: phase_corr._phase_correlate_one(u, v, hp, wp))
+    sx, sy, resp = f(x[:-1], x[1:])
+    h, w = images.shape[1], images.shape[2]
+    return sx, sy, resp * (float(hp) * wp / (h * w))
+
+
 def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
                                   ) -> List[PairRegistration]:
     """Whole-image phase correlation for all pairs in one dispatch.
@@ -231,13 +252,24 @@ def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
     ``calculateOffsetForPhaseCorrleate`` (Stitcher.py:184-203), whose
     ``self.phase`` GPU-FFT module is missing: offset = [round(y), round(x)]
     per its intended semantics (Stitcher.py:198-199).
+
+    Design repairs vs. cv2.phaseCorrelate (this path exists for LARGE
+    shifts, which cv2's defaults cannot represent):
+      * pad to >= 2*dim — padding only to the optimal DFT size >= dim makes
+        the correlation circular, so any shift beyond half the padded size
+        aliases (iron's 1698-row shift would wrap to ~-246); 2x padding is
+        the full linear cross-correlation, unambiguous for every physically
+        possible offset;
+      * mean-subtract before padding and renormalize the response (see
+        ``_phase_whole_jit``).
     """
     images_dev = jnp.asarray(images)
     n, h, w = images.shape
     if n < 2:
         return []
-    hp, wp = phase_corr.optimal_dft_size(h), phase_corr.optimal_dft_size(w)
-    sx, sy, resp = _phase_attempt_jit(images_dev, 1, 1.0, hp, wp)
+    hp = phase_corr.optimal_dft_size(2 * h)
+    wp = phase_corr.optimal_dft_size(2 * w)
+    sx, sy, resp = _phase_whole_jit(images_dev, hp, wp)
     sx, sy, resp = np.asarray(sx), np.asarray(sy), np.asarray(resp)
     out: List[PairRegistration] = []
     for k in range(n - 1):

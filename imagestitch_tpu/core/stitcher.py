@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import StitchConfig
 from ..io import codec, dataset
-from ..utils.records import SequenceReport
+from ..utils.records import SequenceReport, print_and_write
 from . import compose as compose_mod
 from . import registration
 
@@ -71,6 +71,20 @@ class Stitcher:
             if r.ok and r.direction:
                 self._direction = r.direction
                 break
+        # per-pair offset log (reference Stitcher.py:303, :366 via
+        # printAndWrite, ImageUtility.py:52-64)
+        if self.cfg.print_log or self.cfg.evaluate:
+            for k, r in enumerate(recs):
+                if r.ok:
+                    print_and_write(
+                        self.cfg,
+                        f"  The offset of pair {k} is {list(r.offset)} "
+                        f"(direction={r.direction}, scale={r.scale}, "
+                        f"confidence={r.confidence:.3g})")
+                else:
+                    print_and_write(
+                        self.cfg, f"  Pair {k} failed to register after "
+                                  f"{r.attempts} attempts")
         return recs
 
     # -- sequence stitching ------------------------------------------------
@@ -173,7 +187,7 @@ class Stitcher:
                         f"stitching_result_{i}_{j + 1}.{output_extension}")
                     codec.imwrite(out, res.image)
                     written.append(out)
-            if self.cfg.print_log:
-                print(f"Time consuming for {project_address}/{i}: "
-                      f"{time.time() - t0:.3f}s")
+            print_and_write(self.cfg,
+                            f"Time consuming for {project_address}/{i}: "
+                            f"{time.time() - t0:.3f}s")
         return written

@@ -4,17 +4,26 @@ TPU-native analogs of the reference's descriptor families
 (reference: ImageUtility.py:255-264 SIFT/SURF/ORB via OpenCV;
 appendix/myGpuFeatures.cpp:77-118 CUDA):
 
-  * "surf"  — 64-d Haar-gradient subregion sums (SURF, upright)
+  * "surf"  — 64-d Haar-gradient subregion sums (SURF)
   * "surf-extended" / "sift" — 128-d sign-split / orientation-binned variants
-  * "orb"   — 256-bit BRIEF-style intensity comparisons (Hamming metric)
+  * "orb"   — BRIEF-style intensity comparisons over the ``patch_size``
+    window (ImageUtility.py:37), ``wta_k``-way (ImageUtility.py:36); bits
+    are float {0,1} so Hamming matching rides the MXU.
 
-All are computed as one vectorized gather + einsum over a (K, S, S) sample
-grid per image — no per-keypoint host loops, fully batched over (P, K).
-Keypoint orientation is fixed upright (micrograph stages translate, they do
-not rotate; reference surfIsUpright knob at ImageUtility.py:28).
+All are computed as one patch-slice gather per keypoint + register-resident
+math — no per-keypoint host loops, fully batched over (P, K).
+
+Orientation (``upright`` knob, ImageUtility.py:28): with upright=False the
+descriptor window is rotated to the keypoint's dominant orientation —
+Gaussian-weighted gradient direction for SURF/SIFT (a smooth simplification
+of SURF's sliding-window Haar maximum), intensity centroid for ORB (exactly
+cv2 ORB's rule) — sampled bilinearly from the gathered patch.  Micrograph
+stages translate without rotating, so both settings register identically on
+the demo sets; oriented mode matches the reference's default behavior.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -24,8 +33,22 @@ import numpy as np
 
 _S = 16          # sample grid edge (SxS window)
 _SUB = 4         # 4x4 subregions
-_ORB_BITS = 256
-_ORB_PATCH = 15  # +-15 -> 31x31 patch (ImageUtility.py:37 orbPatchSize)
+_ORB_BITS = 256  # number of BRIEF tests
+
+
+@dataclasses.dataclass(frozen=True)
+class DescribeParams:
+    """Static (hashable) descriptor configuration."""
+    family: str = "surf"    # "surf" | "surf-extended" | "sift" | "orb"
+    upright: bool = False   # ImageUtility.py:28 (False = oriented)
+    patch_size: int = 31    # ORB BRIEF patch edge (ImageUtility.py:37)
+    wta_k: int = 2          # points per BRIEF test (ImageUtility.py:36)
+
+
+def descriptor_dim(params: DescribeParams) -> int:
+    if params.family == "orb":
+        return _ORB_BITS * (params.wta_k if params.wta_k > 2 else 1)
+    return 64 if params.family == "surf" else 128
 
 
 def _gauss_weight(s: int, sigma: float) -> np.ndarray:
@@ -35,24 +58,122 @@ def _gauss_weight(s: int, sigma: float) -> np.ndarray:
     return (w / w.sum()).astype(np.float32)
 
 
-def _sample_grid(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
-                 offsets: np.ndarray) -> jnp.ndarray:
-    """Gather image values on a fixed offset grid around each keypoint.
+# --------------------------------------------------------------------------
+# Patch gathering and bilinear resampling
+# --------------------------------------------------------------------------
 
-    image: (H, W); rows/cols: (K,); offsets: (G,) relative int offsets.
-    Returns (K, G, G) with clipped (replicated-edge) sampling.
+def _patch_gather(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
+                  size: int, margin: int) -> jnp.ndarray:
+    """(K, size, size) windows centered on each (rounded) keypoint.
 
-    A single flat 1-D ``take`` lowers to one linear gather — ~2x faster on
-    TPU than the equivalent 2-D advanced-indexing gather.
+    One ``lax.gather`` in SLICE mode: each keypoint fetches ``size``
+    contiguous row segments instead of size*size scalar elements — TPU
+    gathers are transaction-bound, so this is ~10x faster than
+    advanced-indexing the same windows.  CLIP mode clamps the slice start
+    so out-of-range (padded/garbage) keypoints read an in-bounds window;
+    detection's border suppression keeps real keypoints interior.
     """
-    h, w = image.shape
-    off = jnp.asarray(offsets, jnp.int32)
-    r = jnp.clip(rows.astype(jnp.int32)[:, None] + off[None, :], 0, h - 1)
-    c = jnp.clip(cols.astype(jnp.int32)[:, None] + off[None, :], 0, w - 1)
-    k, g = r.shape
-    idx = (r[:, :, None] * w + c[:, None, :]).reshape(-1)
-    return jnp.take(image.reshape(-1), idx).reshape(k, g, g)
+    r0 = jnp.round(rows).astype(jnp.int32) - margin
+    c0 = jnp.round(cols).astype(jnp.int32) - margin
+    starts = jnp.stack([r0, c0], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1))
+    return jax.lax.gather(image, starts, dn, slice_sizes=(size, size),
+                          mode=jax.lax.GatherScatterMode.CLIP)
 
+
+def _bilinear_from_patch(patch: jnp.ndarray, pr: jnp.ndarray, pc: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """Bilinear samples at float patch coords.
+
+    patch: (K, G, G); pr/pc: (K, ...) patch-frame coordinates.
+    In-register resample: 4 ``take_along_axis`` gathers on the flattened
+    patch, no image-sized memory touched.
+    """
+    k, g, _ = patch.shape
+    shape = pr.shape
+    r0 = jnp.clip(jnp.floor(pr).astype(jnp.int32), 0, g - 2)
+    c0 = jnp.clip(jnp.floor(pc).astype(jnp.int32), 0, g - 2)
+    fr = jnp.clip(pr - r0, 0.0, 1.0)
+    fc = jnp.clip(pc - c0, 0.0, 1.0)
+    flat = patch.reshape(k, g * g)
+
+    def take(r, c):
+        idx = (r * g + c).reshape(k, -1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(shape)
+
+    return (take(r0, c0) * (1 - fr) * (1 - fc)
+            + take(r0, c0 + 1) * (1 - fr) * fc
+            + take(r0 + 1, c0) * fr * (1 - fc)
+            + take(r0 + 1, c0 + 1) * fr * fc)
+
+
+def _rot(theta: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Rotate (row=u, col=v) offsets by per-keypoint theta: (K,...) pairs."""
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    while ct.ndim < u.ndim:
+        ct = ct[..., None]
+        st = st[..., None]
+    return ct * u - st * v, st * u + ct * v
+
+
+# --------------------------------------------------------------------------
+# Gradient-grid construction (upright and oriented)
+# --------------------------------------------------------------------------
+
+def _grads_from_samples(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, S+2, S+2) samples -> smoothed (K, S, S) gradients (3-tap box +
+    central difference, the pipeline _patch_grads always used)."""
+    sm = 0.25 * q[:, :-2, :] + 0.5 * q[:, 1:-1, :] + 0.25 * q[:, 2:, :]
+    gx = 0.5 * sm[:, :, :-2] - 0.5 * sm[:, :, 2:]
+    dr = 0.5 * q[:, :-2, :] - 0.5 * q[:, 2:, :]
+    gy = 0.25 * dr[:, :, :-2] + 0.5 * dr[:, :, 1:-1] + 0.25 * dr[:, :, 2:]
+    return gx, gy
+
+
+def _patch_grads(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Upright descriptor-window gradients from ONE patch gather."""
+    p = _patch_gather(image.astype(jnp.float32), rows, cols,
+                      _S + 2, _S // 2)
+    return _grads_from_samples(p)
+
+
+_ORI_G = 29          # oriented gather patch edge
+_ORI_R = _ORI_G // 2
+
+
+def _oriented_patch_grads(image: jnp.ndarray, rows: jnp.ndarray,
+                          cols: jnp.ndarray
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Keypoint-frame gradients: estimate the dominant orientation, then
+    bilinearly sample the (S+2)^2 grid rotated by it.
+
+    Finite differences along the rotated grid axes ARE the keypoint-frame
+    gradients, so the downstream SURF/SIFT binning needs no change.
+    """
+    patch = _patch_gather(image.astype(jnp.float32), rows, cols,
+                          _ORI_G, _ORI_R)
+    # dominant orientation: Gaussian-weighted mean gradient of the patch
+    gx0 = 0.5 * (patch[:, :, 2:] - patch[:, :, :-2])[:, 1:-1, :]
+    gy0 = 0.5 * (patch[:, 2:, :] - patch[:, :-2, :])[:, :, 1:-1]
+    w0 = jnp.asarray(_gauss_weight(_ORI_G - 2, (_ORI_G - 2) / 4.0))
+    mx = jnp.sum(gx0 * w0, axis=(1, 2))
+    my = jnp.sum(gy0 * w0, axis=(1, 2))
+    theta = jnp.arctan2(my, mx)
+    # rotated (S+2)^2 sampling grid, centered
+    base = jnp.arange(_S + 2, dtype=jnp.float32) - (_S + 1) / 2.0
+    u = jnp.broadcast_to(base[:, None], (_S + 2, _S + 2))
+    v = jnp.broadcast_to(base[None, :], (_S + 2, _S + 2))
+    ru, rv = _rot(theta, u[None], v[None])
+    q = _bilinear_from_patch(patch, ru + _ORI_R, rv + _ORI_R)
+    return _grads_from_samples(q)
+
+
+# --------------------------------------------------------------------------
+# SURF / SIFT descriptor binning
+# --------------------------------------------------------------------------
 
 def _surf_from_grads(gx: jnp.ndarray, gy: jnp.ndarray, extended: bool
                      ) -> jnp.ndarray:
@@ -84,7 +205,7 @@ def _surf_from_grads(gx: jnp.ndarray, gy: jnp.ndarray, extended: bool
 
 
 def _sift_from_grads(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
-    """(K, S, S) gradients -> (K, 128) upright SIFT vector (4x4x8 bins)."""
+    """(K, S, S) gradients -> (K, 128) SIFT vector (4x4x8 bins)."""
     k = gx.shape[0]
     mag = jnp.sqrt(gx * gx + gy * gy)
     ori = jnp.arctan2(gy, gx)                         # [-pi, pi)
@@ -98,109 +219,104 @@ def _sift_from_grads(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
 
 
-def _orb_pattern(seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
-    """Fixed BRIEF sampling pattern: 256 point pairs in the 31x31 patch."""
+# --------------------------------------------------------------------------
+# ORB / BRIEF
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _orb_pattern(patch_size: int, wta_k: int, seed: int = 7) -> np.ndarray:
+    """Fixed BRIEF sampling pattern: (_ORB_BITS, wta_k, 2) float offsets in
+    the patch (Gaussian, sigma = patch/5, BRIEF's classic distribution),
+    clipped one pixel inside so rotated bilinear samples stay in range."""
     rng = np.random.default_rng(seed)
-    pts = np.clip(rng.normal(0, _ORB_PATCH / 2.5, (_ORB_BITS, 2, 2)),
-                  -_ORB_PATCH, _ORB_PATCH).astype(np.int32)
-    return pts[:, 0], pts[:, 1]  # (256, 2) each: (dr, dc)
+    half = patch_size // 2
+    pts = np.clip(rng.normal(0, patch_size / 5.0, (_ORB_BITS, max(wta_k, 2), 2)),
+                  -(half - 1), half - 1)
+    return pts.astype(np.float32)
 
 
-_ORB_P1, _ORB_P2 = _orb_pattern()
-
-
-def _orb_diff_matrix() -> np.ndarray:
-    """(patch_px, 256) matrix D with D[flat(p2_b), b]=+1, D[flat(p1_b), b]=-1:
-    ``patch_flat @ D > 0``  ==  ``I(p1) < I(p2)`` — the BRIEF test as one
-    MXU contraction over the gathered patches."""
-    side = 2 * _ORB_PATCH + 1
-    d = np.zeros((side * side, _ORB_BITS), np.float32)
-    for b in range(_ORB_BITS):
-        r1, c1 = _ORB_P1[b] + _ORB_PATCH
-        r2, c2 = _ORB_P2[b] + _ORB_PATCH
-        d[r1 * side + c1, b] -= 1.0
-        d[r2 * side + c2, b] += 1.0
-    return d
+def _orb_theta(patch: jnp.ndarray, half: int) -> jnp.ndarray:
+    """ORB's intensity-centroid orientation: theta = atan2(m01, m10) over
+    the patch disk (cv2 ORB's exact rule)."""
+    g = patch.shape[-1]
+    ax = jnp.arange(g, dtype=jnp.float32) - (g - 1) / 2.0
+    rr = jnp.broadcast_to(ax[:, None], (g, g))
+    cc = jnp.broadcast_to(ax[None, :], (g, g))
+    disk = (rr * rr + cc * cc) <= float(half * half)
+    pw = jnp.where(disk, patch, 0.0)
+    m01 = jnp.sum(pw * rr, axis=(1, 2))
+    m10 = jnp.sum(pw * cc, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
 
 
 def _orb_bits(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
-              smooth: jnp.ndarray) -> jnp.ndarray:
-    """(K, 256) float {0,1} BRIEF bits (float form feeds the Hamming matmul).
+              smooth: jnp.ndarray, params: DescribeParams) -> jnp.ndarray:
+    """(K, D) float {0,1} BRIEF bits (float form feeds the Hamming matmul).
 
-    One (31, 31) patch-slice gather per keypoint, then the 256 point-pair
-    comparisons as a single (K, 961) x (961, 256) matmul against a static
-    +-1 difference matrix — no scalar gathers anywhere.
+    One patch-slice gather per keypoint (from the box-smoothed image, cv2's
+    pre-smoothing), then all ``wta_k x 256`` test-point samples as bilinear
+    reads from the register-resident patch.  Oriented (rBRIEF) unless
+    ``upright``: the test pattern rotates by the intensity-centroid angle.
     """
-    side = 2 * _ORB_PATCH + 1
+    half = params.patch_size // 2
+    # rotated points reach sqrt(2)*half; +2 bilinear/round margin
+    g = 2 * (int(np.ceil(half * np.sqrt(2.0))) + 2) + 1
+    margin = g // 2
     k = rows.shape[0]
-    patch = _patch_gather(smooth, rows, cols, side, _ORB_PATCH)
-    diffs = jnp.dot(patch.reshape(k, side * side), jnp.asarray(_orb_diff_matrix()),
-                    preferred_element_type=jnp.float32)
-    return (diffs > 0).astype(jnp.float32)
+    patch = _patch_gather(smooth, rows, cols, g, margin)
+    pts = jnp.asarray(_orb_pattern(params.patch_size, params.wta_k))
+    pu = jnp.broadcast_to(pts[None, :, :, 0], (k,) + pts.shape[:2])
+    pv = jnp.broadcast_to(pts[None, :, :, 1], (k,) + pts.shape[:2])
+    if params.upright:
+        ru, rv = pu, pv
+    else:
+        theta = _orb_theta(patch, half)
+        ru, rv = _rot(theta, pu, pv)
+    vals = _bilinear_from_patch(patch, ru + margin, rv + margin)  # (K, 256, k)
+    if params.wta_k <= 2:
+        return (vals[:, :, 0] < vals[:, :, 1]).astype(jnp.float32)
+    # WTA_K > 2: each test emits argmax-of-k as a one-hot symbol; the
+    # Hamming matmul identity then counts symbol AGREEMENTS, i.e. distance
+    # = 2 * (#mismatched symbols) — cv2's NORM_HAMMING2 scale x2 (the
+    # matcher threshold is scaled accordingly, see feature_registration).
+    sym = jnp.argmax(vals[:, :, :params.wta_k], axis=-1)
+    onehot = jax.nn.one_hot(sym, params.wta_k, dtype=jnp.float32)
+    return onehot.reshape(k, _ORB_BITS * params.wta_k)
 
 
-def _patch_gather(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
-                  size: int, margin: int) -> jnp.ndarray:
-    """(K, size, size) windows centered like the descriptor grid.
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
 
-    One ``lax.gather`` in SLICE mode: each keypoint fetches ``size``
-    contiguous row segments instead of size*size scalar elements — TPU
-    gathers are transaction-bound, so this is ~10x faster than
-    advanced-indexing the same windows.  CLIP mode clamps the slice start
-    so out-of-range (padded/garbage) keypoints read an in-bounds window;
-    detection's border suppression keeps real keypoints interior.
-    """
-    starts = jnp.stack([rows.astype(jnp.int32) - margin,
-                        cols.astype(jnp.int32) - margin], axis=-1)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1))
-    return jax.lax.gather(image, starts, dn, slice_sizes=(size, size),
-                          mode=jax.lax.GatherScatterMode.CLIP)
-
-
-def _patch_grads(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Descriptor-window gradients from ONE patch gather per keypoint.
-
-    Equivalent to sampling dense ``_sep_conv2(x, box, der)`` maps on the
-    16x16 grid (same taps), but the smoothing/differencing runs on the
-    (K, 18, 18) patches in registers — halving gather traffic and skipping
-    the dense gradient maps entirely.
-    """
-    # window offsets -7..8 need image rows/cols (kp-8 .. kp+9)
-    p = _patch_gather(image.astype(jnp.float32), rows, cols,
-                      _S + 2, _S // 2)
-    sm = 0.25 * p[:, :-2, :] + 0.5 * p[:, 1:-1, :] + 0.25 * p[:, 2:, :]
-    gx = 0.5 * sm[:, :, :-2] - 0.5 * sm[:, :, 2:]
-    dr = 0.5 * p[:, :-2, :] - 0.5 * p[:, 2:, :]
-    gy = 0.25 * dr[:, :, :-2] + 0.5 * dr[:, :, 1:-1] + 0.25 * dr[:, :, 2:]
-    return gx, gy
-
-
-@functools.partial(jax.jit, static_argnames=("family",))
+@functools.partial(jax.jit, static_argnames=("params",))
 def describe_batch(images: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
-                   family: str = "surf") -> jnp.ndarray:
+                   params: DescribeParams = DescribeParams()) -> jnp.ndarray:
     """Descriptors for a (P, H, W) image batch with (P, K) keypoints.
 
-    Returns (P, K, D) float32 descriptors (D = 64/128, or 256 {0,1} bits for
-    "orb").  Invalid (padded) keypoints produce harmless garbage rows — the
-    matcher masks them by score validity.
+    Returns (P, K, D) float32 descriptors (D = 64/128, or 256*k {0,1} bits
+    for "orb").  Invalid (padded) keypoints produce harmless garbage rows —
+    the matcher masks them by score validity.
     """
     x = images.astype(jnp.float32)
     box = np.array([0.25, 0.5, 0.25], np.float32)
     gw = jnp.asarray(_gauss_weight(_S, _S / 2.0) * _S * _S)
 
-    if family == "orb":
+    if params.family == "orb":
         from .detect import _sep_conv2
         smooth = _sep_conv2(x, box, box)
-        return jax.vmap(_orb_bits)(x, rows, cols, smooth)
+        return jax.vmap(lambda xi, r, c, s: _orb_bits(xi, r, c, s, params))(
+            x, rows, cols, smooth)
 
     def one(x_i, r_i, c_i):
-        gx, gy = _patch_grads(x_i, r_i, c_i)
+        if params.upright:
+            gx, gy = _patch_grads(x_i, r_i, c_i)
+        else:
+            gx, gy = _oriented_patch_grads(x_i, r_i, c_i)
         sx = gx * gw
         sy = gy * gw
-        if family == "sift":
+        if params.family == "sift":
             return _sift_from_grads(sx, sy)
-        return _surf_from_grads(sx, sy, extended=(family == "surf-extended"))
+        return _surf_from_grads(sx, sy,
+                                extended=(params.family == "surf-extended"))
 
     return jax.vmap(one)(x, rows, cols)

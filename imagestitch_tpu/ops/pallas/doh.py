@@ -31,11 +31,11 @@ from ..features.detect import _gauss_kernels
 _TILE = 64
 
 
-def _scale_taps(base_sigma: float, n_scales: int):
+def _scale_taps(base_sigma: float, n_scales: int, spacing: float = 1.6):
     """Per-scale (g, dg, ddg, radius, sigma) numpy tap tables."""
     taps = []
     for s in range(n_scales):
-        sigma = base_sigma * (1.6 ** s)
+        sigma = base_sigma * (spacing ** s)
         radius = max(2, int(math.ceil(3.0 * sigma)))
         g, dg, ddg = _gauss_kernels(sigma, radius)
         taps.append((g, dg, ddg, radius, sigma))
@@ -56,7 +56,7 @@ def _conv_cols(x, k, radius, base_c, cols_out):
 
 def _make_kernel(taps, tile: int, halo: int, threshold: float, border: int,
                  h: int, w: int):
-    def kernel(x_hbm_ref, out_ref, scratch, sem):
+    def kernel(x_hbm_ref, out_ref, raw_ref, scratch, sem):
         ti = pl.program_id(0)
         # stream the overlapping (tile + 2*halo)-row window HBM -> VMEM
         dma = pltpu.make_async_copy(
@@ -97,21 +97,26 @@ def _make_kernel(taps, tile: int, halo: int, threshold: float, border: int,
                   (gc >= border) & (gc < w - border))
         out_ref[:] = jnp.where(keep & inside & (center > threshold),
                                center, 0.0)
+        raw_ref[:] = center   # pre-NMS response (sub-pixel refinement input)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n_scales",
-                                             "border", "interpret"))
+                                             "base_sigma", "border",
+                                             "spacing", "interpret"))
 def doh_score_map(image: jnp.ndarray, threshold: float = 10.0,
                   n_scales: int = 3, base_sigma: float = 1.2,
-                  border: int = 8, interpret: bool = False) -> jnp.ndarray:
-    """(H, W) uint8/float -> (H, W) float32 NMS-masked DoH score map.
+                  border: int = 8, spacing: float = 1.6,
+                  interpret: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H, W) uint8/float -> (score, raw): NMS-masked DoH score map plus the
+    raw (pre-NMS) layer-max response for sub-pixel refinement.
 
     Drop-in for the response/NMS/threshold stage of detect.detect_batch.
     """
     x = image.astype(jnp.float32)
     h, w = x.shape
-    taps = _scale_taps(base_sigma, n_scales)
+    taps = _scale_taps(base_sigma, n_scales, spacing)
     halo = max(r for _, _, _, r, _ in taps) + 1   # +1 NMS row/col
     halo = -(-halo // 4) * 4  # 2*halo multiple of 8: Mosaic sublane tiling
     hp = -(-h // _TILE) * _TILE
@@ -123,13 +128,15 @@ def doh_score_map(image: jnp.ndarray, threshold: float = 10.0,
                      (halo, wp_total - w - halo)), mode="edge")
 
     grid = (hp // _TILE,)
-    out = pl.pallas_call(
+    blockspec = pl.BlockSpec((_TILE, w), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    score, raw = pl.pallas_call(
         _make_kernel(taps, _TILE, halo, threshold, border, h, w),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_TILE, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        out_specs=(blockspec, blockspec),
+        out_shape=(jax.ShapeDtypeStruct((hp, w), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, w), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((_TILE + 2 * halo, wp_total),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
@@ -137,4 +144,4 @@ def doh_score_map(image: jnp.ndarray, threshold: float = 10.0,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp)
-    return out[:h]
+    return score[:h], raw[:h]

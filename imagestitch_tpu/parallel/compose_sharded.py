@@ -10,6 +10,15 @@ device contributes its masked slice; blocks partition rows so the sum IS the
 gather), the blend math runs replicated (rects are strip-sized), and each
 device writes back only its rows.
 
+Execution model (round 2, performance-grade): steps are planned and grouped
+exactly like the single-chip composer (core/compose.plan_groups — one shared
+shape bucket for all paddable fusion rects), and each group runs as ONE
+jitted shard_map ``lax.scan`` dispatch over a donated sharded canvas.  The
+round-1 version compiled one program per distinct rect shape and dispatched
+once per image (~80 programs / ~90 dispatches on the dendritic grid); now
+it is a handful of dispatches total, mirroring the single-chip path.
+Multiband and optimal-seam run through the exact-rect group path.
+
 Semantics identical to core/compose.compose — verified bit-exact on the
 virtual 8-device CPU mesh in tests.
 """
@@ -25,91 +34,144 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import StitchConfig
-from ..core.compose import compute_placement
+from ..core.compose import (_finalize, _fuse_dispatch, compute_placement,
+                            plan_groups)
 from ..ops.fusion import blend
 
 
-def _block_window(padded_rows: jnp.ndarray, start_row, n_rows: int):
-    """Fixed-size row window of a row-padded array (pad = n_rows each side)."""
-    return jax.lax.dynamic_slice_in_dim(padded_rows, start_row + n_rows,
-                                        n_rows, axis=0)
+# --------------------------------------------------------------------------
+# Local-block primitives (run inside shard_map; canvas_local = this device's
+# row block; global row of local row i = axis_index * block_rows + i)
+# --------------------------------------------------------------------------
 
+def _scatter_local(canvas_local: jnp.ndarray, img: jnp.ndarray,
+                   r, c, axis: str) -> jnp.ndarray:
+    """Overwrite-paste ``img`` at GLOBAL (r, c) into the local row block.
 
-def _compose_step(canvas_local, image, r, c, rect, fuse: bool,
-                  drow, dcol, method: str, color: bool, axis: str,
-                  block_rows: int):
-    """One image's paste (+ optional rect fusion) on the local block.
-
-    canvas_local: (Rb, C[, 3]) int16; image: (h, w[, 3]) uint8 (replicated);
-    r, c: global paste position; rect: (rr0, rc0) with static (rh, rw) from
-    the caller's specialization.
+    The image is row-padded by the block height so a fixed-size window
+    covering this block can be sliced out at a dynamic offset; rows whose
+    global index falls outside [r, r+ih) are masked (dynamic_slice clamps
+    out-of-range starts, and the mask discards whatever a clamped window
+    read).
     """
-    my0 = jax.lax.axis_index(axis) * block_rows
-    rb = canvas_local.shape[0]
-    cw = canvas_local.shape[1]
-    h, w = image.shape[0], image.shape[1]
+    rb, cw = canvas_local.shape[0], canvas_local.shape[1]
     chan = canvas_local.shape[2:]
+    ih, iw = img.shape[0], img.shape[1]
+    my0 = jax.lax.axis_index(axis) * rb
+    pad_spec = ((rb, rb), (0, 0)) + ((0, 0),) * len(chan)
+    padded = jnp.pad(img.astype(canvas_local.dtype), pad_spec)
+    win = jax.lax.dynamic_slice(
+        padded, (my0 - r + rb, 0) + (0,) * len(chan), (rb, iw) + chan)
+    buf = jnp.zeros((rb, cw) + chan, canvas_local.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, win, (0, c) + (0,) * len(chan))
+    gr = my0 + jnp.arange(rb)
+    rmask = ((gr >= r) & (gr < r + ih)).reshape((rb, 1) + (1,) * len(chan))
+    gc = jnp.arange(cw)
+    cmask = ((gc >= c) & (gc < c + iw)).reshape((1, cw) + (1,) * len(chan))
+    return jnp.where(rmask & cmask, buf, canvas_local)
 
-    def local_rows_mask(g0, n):
-        """(Rb, 1[,1]) bool: local rows whose global index is in [g0, g0+n)."""
-        gr = my0 + jnp.arange(rb)
-        m = (gr >= g0) & (gr < g0 + n)
-        return m.reshape((rb, 1) + (1,) * len(chan))
 
-    def place(img, g0, c0, n_valid_rows, img_h):
-        """Scatter img (img_h, w', ...) at global (g0, c0) into a local-block
-        -sized buffer, rows outside the block masked invalid."""
-        pad_spec = ((rb, rb), (0, 0)) + ((0, 0),) * len(chan)
-        padded = jnp.pad(img, pad_spec)
-        win = _block_window(padded, my0 - g0, rb)  # (rb, w', ...)
-        buf = jnp.zeros((rb, cw) + chan, img.dtype)
-        buf = jax.lax.dynamic_update_slice(
-            buf, win, (0, c0) + (0,) * len(chan))
-        return buf, local_rows_mask(g0, n_valid_rows)
+def _gather_rect(canvas_local: jnp.ndarray, rr0, rc0, rh: int, rw: int,
+                 axis: str) -> jnp.ndarray:
+    """Assemble the GLOBAL (rh, rw) rect at (rr0, rc0) on every device.
 
-    # ---- paste image at (r, c) -------------------------------------------
-    buf, m = place(image.astype(canvas_local.dtype), r, c, h, h)
-    col_ok = (jnp.arange(cw) >= c) & (jnp.arange(cw) < c + w)
-    col_ok = col_ok.reshape((1, cw) + (1,) * len(chan))
-    paste_mask = m & col_ok
-    before = canvas_local
-    canvas_local = jnp.where(paste_mask, buf, canvas_local)
+    Each device contributes its masked rows; blocks partition rows, so the
+    ``psum`` over the mesh IS the gather (halo exchange over ICI).
+    """
+    rb = canvas_local.shape[0]
+    chan = canvas_local.shape[2:]
+    my0 = jax.lax.axis_index(axis) * rb
+    pad_spec = ((rh, rh), (0, 0)) + ((0, 0),) * len(chan)
+    padded = jnp.pad(canvas_local, pad_spec)
+    win = jax.lax.dynamic_slice(
+        padded, (rr0 - my0 + rh, rc0) + (0,) * len(chan), (rh, rw) + chan)
+    gr = rr0 + jnp.arange(rh)
+    mine = ((gr >= my0) & (gr < my0 + rb)).reshape(
+        (rh, 1) + (1,) * len(chan))
+    contrib = jnp.where(mine, win.astype(jnp.int32), 0)
+    return jax.lax.psum(contrib, axis)
 
-    if not fuse:
-        return canvas_local
 
-    rr0, rc0 = rect
-    rh, rw = _compose_step.rect_shape  # static, bound by the caller
+# --------------------------------------------------------------------------
+# Group executors: ONE jitted shard_map scan per group (compile-cached per
+# (mesh, shapes, method))
+# --------------------------------------------------------------------------
 
-    def gather_rect(local_canvas):
-        pad_spec = ((rh, rh), (0, 0)) + ((0, 0),) * len(chan)
-        padded = jnp.pad(local_canvas, pad_spec)
-        win = jax.lax.dynamic_slice(
-            padded, (rr0 - my0 + rh, rc0) + (0,) * len(chan),
-            (rh, local_canvas.shape[1] - 0) if False else
-            (rh, rw) + chan)
-        gr = rr0 + jnp.arange(rh)
-        mine = ((gr >= my0) & (gr < my0 + rb)).reshape(
-            (rh, 1) + (1,) * len(chan))
-        contrib = jnp.where(mine, win.astype(jnp.int32), 0)
-        return jax.lax.psum(contrib, axis)
+@functools.lru_cache(maxsize=128)
+def _paste_scan_sharded(mesh: Mesh, axis: str):
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(), P()), out_specs=P(axis),
+                       check_vma=False)
+    def body(canvas_local, imgs, pos):
+        def step(cv, x):
+            img, p = x
+            return _scatter_local(cv, img, p[0], p[1], axis), None
 
-    roi_a = gather_rect(before)
-    roi_b = gather_rect(canvas_local)
-    fused = blend.fuse_region(roi_a, roi_b, drow, dcol, method, color)
+        cv, _ = jax.lax.scan(step, canvas_local, (imgs, pos))
+        return cv
 
-    # write back my rows of the fused rect
-    fbuf, fmask = place(fused.astype(canvas_local.dtype), rr0, rc0, rh, rh)
-    fcol = (jnp.arange(cw) >= rc0) & (jnp.arange(cw) < rc0 + rw)
-    fcol = fcol.reshape((1, cw) + (1,) * len(chan))
-    return jnp.where(fmask & fcol, fbuf, canvas_local)
+    return jax.jit(body, donate_argnums=(0,))
 
+
+@functools.lru_cache(maxsize=128)
+def _fusep_scan_sharded(mesh: Mesh, axis: str, bh: int, bw: int,
+                        method: str, color: bool):
+    """Padded-bucket fuse steps (fadeIn/trig/avg/max/min/notFuse rects)."""
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis),) + (P(),) * 5, out_specs=P(axis),
+                       check_vma=False)
+    def body(canvas_local, imgs, pos, anchors, geoms, pws):
+        def step(cv, x):
+            img, p, anc, g, pw = x
+            roi_a = _gather_rect(cv, anc[0], anc[1], bh, bw, axis)
+            cv = _scatter_local(cv, img, p[0], p[1], axis)
+            roi_b = _gather_rect(cv, anc[0], anc[1], bh, bw, axis)
+            fused = blend.fuse_region_padded(roi_a, roi_b, pw[0], pw[1],
+                                             g[0], g[1], g[2], g[3],
+                                             method, color)
+            return _scatter_local(cv, fused, anc[0], anc[1], axis), None
+
+        cv, _ = jax.lax.scan(step, canvas_local,
+                             (imgs, pos, anchors, geoms, pws))
+        return cv
+
+    return jax.jit(body, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=128)
+def _fuse_exact_scan_sharded(mesh: Mesh, axis: str, rh: int, rw: int,
+                             method: str, color: bool):
+    """Exact-rect fuse steps (multiband / optimal-seam groups)."""
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis),) + (P(),) * 4, out_specs=P(axis),
+                       check_vma=False)
+    def body(canvas_local, imgs, pos, rects, pws):
+        def step(cv, x):
+            img, p, rect, pw = x
+            roi_a = _gather_rect(cv, rect[0], rect[1], rh, rw, axis)
+            cv = _scatter_local(cv, img, p[0], p[1], axis)
+            roi_b = _gather_rect(cv, rect[0], rect[1], rh, rw, axis)
+            fused = _fuse_dispatch(roi_a, roi_b, pw[0], pw[1], method, color)
+            return _scatter_local(cv, fused, rect[0], rect[1], axis), None
+
+        cv, _ = jax.lax.scan(step, canvas_local, (imgs, pos, rects, pws))
+        return cv
+
+    return jax.jit(body, donate_argnums=(0,))
+
+
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
 
 def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
-                    cfg: StitchConfig, mesh: Mesh) -> np.ndarray:
+                    cfg: StitchConfig, mesh: Mesh,
+                    return_device: bool = False) -> np.ndarray:
     """Sharded-canvas equivalent of core/compose.compose."""
     n = images.shape[0]
     color = images.ndim == 4
+    if cfg.fuse_method in ("multiBandBlending", "optimalSeamLine"):
+        assert not color, f"{cfg.fuse_method} supports gray only (ref parity)"
     h, w = images.shape[1], images.shape[2]
     placement = compute_placement(offsets, (h, w))
     rows, cols = placement.canvas_shape
@@ -121,52 +183,47 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
 
     canvas = jnp.full((rows_p, cols) + chan, -1, jnp.int16)
     canvas = jax.device_put(canvas, NamedSharding(mesh, P(axis)))
-    pairwise = [(0, 0)] + [tuple(o) for o in offsets]
-
-    step_cache = {}
-
-    def get_step(rect_shape, fuse: bool):
-        key = (rect_shape, fuse)
-        if key in step_cache:
-            return step_cache[key]
-
-        def stepper(canvas_local, image, r, c, rr0, rc0, drow, dcol):
-            _compose_step.rect_shape = rect_shape
-            return _compose_step(canvas_local, image, r, c, (rr0, rc0), fuse,
-                                 drow, dcol, cfg.fuse_method, color, axis,
-                                 block_rows)
-
-        sharded = shard_map(
-            stepper, mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P()),
-            out_specs=P(axis), check_vma=False)
-        fn = jax.jit(sharded, donate_argnums=(0,))
-        step_cache[key] = fn
-        return fn
-
     images_dev = jax.device_put(np.asarray(images),
                                 NamedSharding(mesh, P()))
-    zero = jnp.int32(0)
+    pairwise = [(0, 0)] + [tuple(o) for o in offsets]
+
+    # identical step classification to core/compose.compose
+    steps = []
     for i in range(n):
         r, c = placement.positions[i]
-        img = images_dev[i]
-        fuse = (i > 0 and cfg.fuse_method != "notFuse")
-        if fuse:
-            rr0 = max(r, placement.range_rows[i - 1][0])
-            rc0 = max(c, placement.range_cols[i - 1][0])
-            rr1 = min(r + h, placement.range_rows[i - 1][1])
-            rc1 = min(c + w, placement.range_cols[i - 1][1])
-            if rr1 - rr0 <= 0 or rc1 - rc0 <= 0:
-                fuse = False
-        if fuse:
-            drow, dcol = pairwise[i]
-            fn = get_step((rr1 - rr0, rc1 - rc0), True)
-            canvas = fn(canvas, img, jnp.int32(r), jnp.int32(c),
-                        jnp.int32(rr0), jnp.int32(rc0),
-                        jnp.int32(drow), jnp.int32(dcol))
+        if i == 0 or cfg.fuse_method == "notFuse":
+            steps.append(("paste", i, (r, c), None, None))
+            continue
+        rr0 = max(r, placement.range_rows[i - 1][0])
+        rc0 = max(c, placement.range_cols[i - 1][0])
+        rr1 = min(r + h, placement.range_rows[i - 1][1])
+        rc1 = min(c + w, placement.range_cols[i - 1][1])
+        if rr1 - rr0 <= 0 or rc1 - rc0 <= 0:
+            steps.append(("paste", i, (r, c), None, None))
         else:
-            fn = get_step((1, 1), False)
-            canvas = fn(canvas, img, jnp.int32(r), jnp.int32(c),
-                        zero, zero, zero, zero)
-    out = np.asarray(jnp.where(canvas == -1, 0, canvas).astype(jnp.uint8))
-    return out[:rows]
+            steps.append(("fuse", i, (r, c), (rr0, rc0),
+                          (rr1 - rr0, rc1 - rc0)))
+
+    for kind, rect_shape, idxs, pos, aux, geoms in plan_groups(
+            steps, cfg.fuse_method, rows_p, cols):
+        imgs = images_dev[jnp.asarray(idxs, jnp.int32)]
+        pos = jnp.asarray(pos, jnp.int32)
+        if kind == "paste":
+            canvas = _paste_scan_sharded(mesh, axis)(canvas, imgs, pos)
+        elif kind == "fusep":
+            bh, bw = rect_shape
+            fn = _fusep_scan_sharded(mesh, axis, bh, bw, cfg.fuse_method,
+                                     color)
+            canvas = fn(canvas, imgs, pos, jnp.asarray(aux, jnp.int32),
+                        jnp.asarray(geoms, jnp.int32),
+                        jnp.asarray([pairwise[i] for i in idxs], jnp.int32))
+        else:
+            rh, rw = rect_shape
+            fn = _fuse_exact_scan_sharded(mesh, axis, rh, rw,
+                                          cfg.fuse_method, color)
+            canvas = fn(canvas, imgs, pos, jnp.asarray(aux, jnp.int32),
+                        jnp.asarray([pairwise[i] for i in idxs], jnp.int32))
+    out = _finalize(canvas)
+    if return_device:
+        return out, rows
+    return np.asarray(out)[:rows]

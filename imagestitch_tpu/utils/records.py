@@ -10,7 +10,22 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import List, Optional, Tuple
+
+
+def print_and_write(cfg, message: str) -> None:
+    """The reference's dual logging sink (ImageUtility.py:52-64): print to
+    stdout when ``print_log``; append to ``output_address/evaluate_file``
+    when ``evaluate`` (open/append/close per call, exactly as the reference
+    does — the file is a runnable audit trail, not a held handle)."""
+    if cfg.print_log:
+        print(message)
+    if cfg.evaluate:
+        os.makedirs(cfg.output_address, exist_ok=True)
+        path = os.path.join(cfg.output_address, cfg.evaluate_file)
+        with open(path, "a") as f:
+            f.write(str(message) + "\n")
 
 
 @dataclasses.dataclass

@@ -59,3 +59,16 @@ def test_sharded_serpentine_turn(rng):
     mesh = make_mesh(4, axis="blocks")
     sharded = compose_sharded(tiles, offsets, cfg, mesh)
     np.testing.assert_allclose(sharded.astype(int), single.astype(int), atol=1)
+
+
+@pytest.mark.parametrize("fuse", ["multiBandBlending", "optimalSeamLine"])
+def test_sharded_exact_rect_modes(rng, fuse):
+    """Multiband / optimal-seam now run sharded (round-2 capability)."""
+    tiles, offsets = _tiles(rng, 3, (96, 128), 64)
+    cfg = StitchConfig(color_mode=False, fuse_method=fuse,
+                       registration="phase_incre")
+    single = compose(tiles, offsets, cfg)
+    mesh = make_mesh(4, axis="blocks")
+    sharded = compose_sharded(tiles, offsets, cfg, mesh)
+    np.testing.assert_allclose(sharded.astype(int), single.astype(int),
+                               atol=1)

@@ -64,11 +64,14 @@ def test_detector_repeatable_under_translation(rng):
     a = base[50:350, 60:500]
     b = base[80:380, 35:475]  # shifted (30, -25)
     rows, cols, scores = detect.detect_batch(
-        jnp.asarray(np.stack([a, b])), max_kp=256, threshold=10.0)
+        jnp.asarray(np.stack([a, b])), 256,
+        detect.DetectParams(threshold=10.0))
     rows, cols, scores = map(np.asarray, (rows, cols, scores))
     # content at base(R, C): in a at (R-50, C-60), in b at (R-80, C-35)
-    ka = set(zip((rows[0] - 30).astype(int), (cols[0] + 25).astype(int)))
-    kb = set(zip(rows[1].astype(int), cols[1].astype(int)))
+    ka = set(zip(np.round(rows[0] - 30).astype(int),
+                 np.round(cols[0] + 25).astype(int)))
+    kb = set(zip(np.round(rows[1]).astype(int),
+                 np.round(cols[1]).astype(int)))
     # at least half of A's keypoints reappear at the translated position +-0
     inter = len(ka & kb)
     assert inter > 0.4 * min((scores[0] > 0).sum(), (scores[1] > 0).sum())

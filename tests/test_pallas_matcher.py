@@ -51,12 +51,15 @@ def test_doh_kernel_matches_xla_detector(rng):
     from imagestitch_tpu.ops.features import detect
 
     img = rng.integers(0, 255, (300, 384), np.uint8)
-    score_p = np.asarray(doh.doh_score_map(jnp.asarray(img), threshold=10.0,
-                                           interpret=True))
+    score_p, raw_p = doh.doh_score_map(jnp.asarray(img), threshold=10.0,
+                                       interpret=True)
+    score_p = np.asarray(score_p)
     x = jnp.asarray(img)[None].astype(jnp.float32)
     resp = detect.hessian_response(x, 1.2)
     for s in range(1, 3):
         resp = jnp.maximum(resp, detect.hessian_response(x, 1.2 * 1.6 ** s))
+    np.testing.assert_allclose(np.asarray(raw_p), np.asarray(resp[0]),
+                               rtol=1e-4, atol=1e-2)
     keep = detect._nms3(resp)[0]
     h, w = img.shape
     ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
