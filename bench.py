@@ -1,25 +1,32 @@
 """Benchmark harness.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline metric: frames/s on the 89-frame dendritic grid through the
 FLAGSHIP pipeline — incremental-ROI feature registration (the VFSMS core)
-plus full-canvas composition with fade fusion — measured from a
-device-resident batch to a device-complete panorama (decode excluded,
-matching the reference's own phase timers at Stitcher.py:80-90).  The final
-device->host readback is excluded: this environment reaches the TPU through
-an emulation tunnel whose readback tops out at ~10 MB/s (measured), which
-would time the tunnel, not the framework; on real hosts PCIe makes it
-negligible (<0.1 s for the 390 MB panorama).
+plus full-canvas composition of EVERY stitchable segment with fade fusion —
+measured from a device-resident batch to device-complete panoramas (decode
+excluded, matching the reference's own phase timers at Stitcher.py:80-90).
+
+Extra published numbers (bench honesty, VERDICT r1 item 8):
+  * fps_readback_included — same run but timing the device->host readback of
+    every panorama too.  This environment reaches the TPU through an
+    emulation tunnel whose readback tops out at ~10 MB/s (measured), so the
+    number times the tunnel, not the framework; on real hosts PCIe moves the
+    390 MB panorama in <0.1 s.  Published anyway so both accountings exist.
+  * fps_decode_included — end-to-end from JPEG files: the host pipeline
+    (io/prefetch.py) overlaps libjpeg decode of chunk k+1 with device work
+    on chunk k (SURVEY §2.3 PP row).
 
 vs_baseline compares against a serial CPU implementation of the same
 algorithm semantics (per-attempt OpenCV feature detection + BF-ratio match +
-mode vote, then numpy canvas composition) measured once on this machine and
-cached in baselines/cpu_ref.json.  The reference itself cannot run here (its
-cv2.xfeatures2d.SURF and np.int dependencies no longer exist); cv2.SIFT
-stands in for SURF in the baseline, which is charitable to the baseline
-(SIFT and SURF costs are within ~2x) and matches the decision rule exactly.
+mode vote, then numpy canvas composition) measured once on this machine over
+the FULL sequence and cached in baselines/cpu_ref.json.  The reference
+itself cannot run here (its cv2.xfeatures2d.SURF and np.int dependencies no
+longer exist); cv2.SIFT stands in for SURF, which is charitable to the
+baseline (SIFT and SURF costs are within ~2x) and matches the decision rule
+exactly.
 """
 import json
 import os
@@ -35,25 +42,29 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "baselines", "cpu_ref.json")
 
 
-def _load_dendritic():
+def _dendritic_files():
     from imagestitch_tpu.io import dataset
-    files = dataset.list_project_images(os.path.join(DEMO, "dendriticCrystal"), 1)
-    return dataset.load_batch(files, color_mode=False)
+    return dataset.list_project_images(os.path.join(DEMO, "dendriticCrystal"), 1)
 
 
-def _cpu_reference_seconds(gray: np.ndarray, max_pairs: int = 12) -> float:
-    """Serial CPU feature pipeline (reference semantics) on ``max_pairs``
-    pairs, extrapolated to the full sequence (the full run takes ~10 min)."""
+def _cpu_reference_seconds(gray: np.ndarray, max_pairs=None) -> float:
+    """Serial CPU feature pipeline (reference semantics).  With
+    ``max_pairs=None`` runs the FULL sequence (~10 min); otherwise measures
+    ``max_pairs`` pairs and extrapolates linearly (per-pair cost is uniform:
+    every pair is the same-size SIFT/match/vote problem)."""
     import cv2
     from collections import Counter
 
     h, w = gray.shape[1:3]
+    n_pairs_total = gray.shape[0] - 1
+    budget = n_pairs_total if max_pairs is None else min(max_pairs,
+                                                         n_pairs_total)
     t0 = time.time()
     sift = cv2.SIFT_create()
     bf = cv2.BFMatcher()
     direction = 1
     n_done = 0
-    for k in range(min(max_pairs, gray.shape[0] - 1)):
+    for k in range(budget):
         a, b = gray[k], gray[k + 1]
         found = False
         for i in (1, 2, 3):
@@ -93,7 +104,7 @@ def _cpu_reference_seconds(gray: np.ndarray, max_pairs: int = 12) -> float:
             if found:
                 break
         n_done += 1
-    reg_per_pair = (time.time() - t0) / max(n_done, 1)
+    reg_s = (time.time() - t0) / max(n_done, 1) * n_pairs_total
     # composition baseline: numpy paste of the full sequence
     t0 = time.time()
     pos = np.arange(gray.shape[0]) * 1780
@@ -101,7 +112,18 @@ def _cpu_reference_seconds(gray: np.ndarray, max_pairs: int = 12) -> float:
     for k in range(gray.shape[0]):
         canvas[pos[k]:pos[k] + h] = gray[k]
     compose_s = time.time() - t0
-    return reg_per_pair * (gray.shape[0] - 1) + compose_s
+    return reg_s + compose_s
+
+
+def _segments(recs, n):
+    """All stitchable segments [start, end) (flowStitchWithMutiple split)."""
+    segs, start = [], 0
+    for k, r in enumerate(recs):
+        if not r.ok:
+            segs.append((start, k + 1))
+            start = k + 1
+    segs.append((start, n))
+    return segs
 
 
 def main():
@@ -110,8 +132,10 @@ def main():
     enable_compilation_cache()
     from imagestitch_tpu import StitchConfig, compose
     from imagestitch_tpu.core import feature_registration as freg
+    from imagestitch_tpu.io import dataset, prefetch
 
-    batch = _load_dendritic()
+    files = _dendritic_files()
+    batch = dataset.load_batch(files, color_mode=False)
     gray_host = batch.gray
     n = gray_host.shape[0]
     cfg = StitchConfig(registration="feature_incre", direction=1,
@@ -122,29 +146,48 @@ def main():
     gray = jax.device_put(gray_host)
     jax.block_until_ready(gray)
 
-    # warm-up (compile everything once)
-    freg.register_sequence_features_incre(gray, cfg)
-
-    def run_once() -> float:
+    # warm-up (compile everything once, including both segment canvases)
+    def stitch_all(read_back: bool) -> float:
         t0 = time.time()
         recs = freg.register_sequence_features_incre(gray, cfg)
-        segs, start = [], 0
-        for k, r in enumerate(recs):
-            if not r.ok:
-                segs.append((start, k + 1))
-                start = k + 1
-        segs.append((start, n))
-        s, e = max(segs, key=lambda t: t[1] - t[0])
-        offs = [recs[k].offset for k in range(s, e - 1)]
-        out = compose(gray[s:e], offs, cfg, return_device=True)
-        jax.block_until_ready(out)
+        outs = []
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                outs.append(gray[s:e][0])
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            outs.append(compose(gray[s:e], offs, cfg, return_device=True))
+        jax.block_until_ready(outs)
+        if read_back:
+            for o in outs:
+                np.asarray(o)
         return time.time() - t0
 
-    times = [run_once() for _ in range(3)]
+    stitch_all(read_back=False)
+
+    times = [stitch_all(read_back=False) for _ in range(3)]
     fps = n / min(times)
+    t_rb = stitch_all(read_back=True)
+    fps_rb = n / t_rb
+
+    # decode-included end-to-end: pipelined decode ∥ transfer ∥ pool compute
+    def stitch_from_files() -> float:
+        t0 = time.time()
+        recs, gray_dev = prefetch.register_sequence_pipelined(files, cfg)
+        outs = []
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            outs.append(compose(gray_dev[s:e], offs, cfg, return_device=True))
+        jax.block_until_ready(outs)
+        return time.time() - t0
+
+    t_dec = min(stitch_from_files() for _ in range(2))
+    fps_dec = n / t_dec
 
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
-    key = "dendritic_feature_fade_s"
+    key = "dendritic_feature_fade_s_full"
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             base = json.load(f)
@@ -158,10 +201,14 @@ def main():
     base_fps = base["n_frames"] / base[key]
 
     print(json.dumps({
-        "metric": "dendritic 89-frame flagship stitch (feature reg + fade compose)",
+        "metric": "dendritic 89-frame flagship stitch, all segments "
+                  "(feature reg + fade compose)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / base_fps, 3),
+        "fps_readback_included": round(fps_rb, 3),
+        "fps_decode_included": round(fps_dec, 3),
+        "cpu_baseline_fps": round(base_fps, 4),
     }))
 
 

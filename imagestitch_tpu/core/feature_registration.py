@@ -408,6 +408,24 @@ class _PooledCache:
         return store[pair]
 
 
+def replay_from_pool(pool, n: int, shape: Tuple[int, int], cfg: StitchConfig
+                     ) -> List[reg.PairRegistration]:
+    """The reference's sequential decision replay over a precomputed
+    keypoint pool (rows, cols, scores, descs)."""
+    h, w = shape
+    _, _, metric = _families(cfg)
+    cache = _PooledCache(pool, cfg, h, w, metric)
+
+    def accept(res: Dict[str, float]) -> bool:
+        return bool(res["votes"] >= cfg.offset_evaluate)
+
+    def extract(res: Dict[str, float]):
+        return float(res["drow"]), float(res["dcol"]), float(res["votes"])
+
+    return reg._replay_incremental(n - 1, cfg, cache, accept, extract,
+                                   (h, w), offsets_are_full=True)
+
+
 def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
                                      ) -> List[reg.PairRegistration]:
     """Incremental ROI feature search over a (N, H, W) grayscale batch.
@@ -423,18 +441,8 @@ def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
     emode = _enhance_mode(cfg)
     use_strict = cfg.features.strict_roi_detect or emode != "none"
     if not use_strict:
-        _, _, metric = _families(cfg)
         pool = _precompute_pool(images_dev, cfg)
-        cache = _PooledCache(pool, cfg, h, w, metric)
-
-        def accept(res: Dict[str, float]) -> bool:
-            return bool(res["votes"] >= cfg.offset_evaluate)
-
-        def extract(res: Dict[str, float]):
-            return float(res["drow"]), float(res["dcol"]), float(res["votes"])
-
-        return reg._replay_incremental(n - 1, cfg, cache, accept, extract,
-                                       (h, w), offsets_are_full=True)
+        return replay_from_pool(pool, n, (h, w), cfg)
     else:
         def evaluator(direction: int, ratio: float, idx: np.ndarray
                       ) -> Dict[str, np.ndarray]:

@@ -134,6 +134,18 @@ class Stitcher:
                 conf = [max(recs[k].confidence, 1e-3)
                         for k in range(start, end)]
                 graph = pg.PoseGraph.from_chain(subpix, conf)
+                if end - start + 1 >= 3:
+                    # grid loop closure: verified non-adjacent overlap edges
+                    # pin the serpentine drift the chain accumulates
+                    from ..solver import loop_closure
+                    gray_seg = np.asarray(batch.gray[start:end + 1])
+                    graph, n_loop = loop_closure.close_loops(
+                        gray_seg, graph, pg.chain_positions(subpix),
+                        gray_seg.shape[1:])
+                    if self.cfg.print_log or self.cfg.evaluate:
+                        print_and_write(self.cfg,
+                                        f"  solver: {n_loop} loop-closure "
+                                        f"edges added")
                 iters = self.cfg.solver_iters or None
                 positions = pg.solve(graph, iters=iters)
                 img = compose_mod.compose_from_positions(

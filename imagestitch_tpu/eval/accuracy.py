@@ -119,6 +119,26 @@ class DatasetAccuracy:
     within_1px: Optional[int]
     compared_pairs: int
     offsets: List[Tuple[int, int]]
+    # with the per-pair phase fallback the Stitcher driver applies
+    # (registration="hybrid" semantics; see core/registration.py)
+    num_ok_fallback: Optional[int] = None
+    mean_abs_err_fallback_px: Optional[float] = None
+
+
+def _score(recs, goldens, shape):
+    errs, within1, compared = [], 0, 0
+    for r, g in zip(recs, goldens):
+        if g is None or not r.ok:
+            continue
+        # skip goldens that are physically impossible (missing-frame pair)
+        if abs(g[0]) >= shape[0] or abs(g[1]) >= shape[1]:
+            continue
+        compared += 1
+        e = max(abs(r.offset[0] - g[0]), abs(r.offset[1] - g[1]))
+        errs.append(abs(r.offset[0] - g[0]) + abs(r.offset[1] - g[1]))
+        if e <= 1:
+            within1 += 1
+    return errs, within1, compared
 
 
 def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
@@ -141,27 +161,27 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
     else:
         goldens = [None] * len(recs)
 
-    errs = []
-    within1 = 0
-    compared = 0
-    for r, g in zip(recs, goldens):
-        if g is None or not r.ok:
-            continue
-        # skip goldens that are physically impossible (missing-frame pair)
-        if abs(g[0]) >= batch.gray.shape[1] or abs(g[1]) >= batch.gray.shape[2]:
-            continue
-        compared += 1
-        e = max(abs(r.offset[0] - g[0]), abs(r.offset[1] - g[1]))
-        errs.append(abs(r.offset[0] - g[0]) + abs(r.offset[1] - g[1]))
-        if e <= 1:
-            within1 += 1
+    shape = batch.gray.shape[1:3]
+    errs, within1, compared = _score(recs, goldens, shape)
+
+    num_ok_fb = None
+    mean_fb = None
+    if any(not r.ok for r in recs):
+        phase = reg.register_sequence_phase(batch.gray, cfg)
+        fb = [r if r.ok else p for r, p in zip(recs, phase)]
+        errs_fb, _, comp_fb = _score(fb, goldens, shape)
+        num_ok_fb = sum(r.ok for r in fb)
+        mean_fb = float(np.mean(errs_fb)) if errs_fb else None
+
     return DatasetAccuracy(
         name=name, num_pairs=len(recs), num_ok=sum(r.ok for r in recs),
         mean_abs_err_px=float(np.mean(errs)) if errs else None,
         max_abs_err_px=float(np.max(errs)) if errs else None,
         within_1px=within1 if compared else None,
         compared_pairs=compared,
-        offsets=[tuple(r.offset) for r in recs])
+        offsets=[tuple(r.offset) for r in recs],
+        num_ok_fallback=num_ok_fb,
+        mean_abs_err_fallback_px=mean_fb)
 
 
 def run(demo_root: str = "/root/reference/demoImages",

@@ -30,14 +30,20 @@ class ScalingPoint:
 @dataclasses.dataclass
 class ScalingReport:
     backend: str
+    mode: str
     n_frames: int
     image_shape: List[int]
     points: List[ScalingPoint]
 
 
 def run(images: Optional[np.ndarray] = None, device_counts=None,
-        direction: int = 1, ratio: float = 0.25, repeats: int = 3
-        ) -> ScalingReport:
+        direction: int = 1, ratio: float = 0.25, repeats: int = 3,
+        mode: str = "phase") -> ScalingReport:
+    """Throughput vs mesh size for one registration sweep.
+
+    mode = "phase" (FFT pair registration) or "feature" (the flagship:
+    frame-sharded detect/describe + halo'd matching + mode vote).
+    """
     if images is None:
         rng = np.random.default_rng(0)
         base = rng.integers(0, 255, (80 * 33 + 512, 768), np.uint8)
@@ -50,15 +56,24 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
     fps1 = None
     for d in device_counts:
         mesh = make_mesh(d, axis="pairs")
-        a, b, n_pairs = pipeline.make_pair_tensors(images, mesh)
-        # warm-up
-        jax.block_until_ready(
-            pipeline.register_pairs_sharded(a, b, direction, ratio))
+
+        if mode == "feature":
+            def step():
+                return pipeline.register_pairs_sharded_features(
+                    images, mesh, direction=direction, ratio=ratio)
+        else:
+            a, b, n_pairs = pipeline.make_pair_tensors(images, mesh)
+
+            def step():
+                out = pipeline.register_pairs_sharded(a, b, direction, ratio)
+                jax.block_until_ready(out)
+                return out
+
+        step()  # warm-up / compile
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            out = pipeline.register_pairs_sharded(a, b, direction, ratio)
-            jax.block_until_ready(out)
+            step()
             best = min(best, time.perf_counter() - t0)
         fps = n / best
         if fps1 is None:
@@ -66,13 +81,23 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
         points.append(ScalingPoint(
             n_devices=d, frames_per_s=round(fps, 2),
             efficiency_vs_1=round(fps / (fps1 * d), 3)))
-    return ScalingReport(backend=jax.default_backend(), n_frames=n,
-                         image_shape=list(images.shape[1:]), points=points)
+    return ScalingReport(backend=jax.default_backend(), mode=mode,
+                         n_frames=n, image_shape=list(images.shape[1:]),
+                         points=points)
 
 
 def main():
-    rep = run()
-    print(json.dumps(dataclasses.asdict(rep)))
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="phase", choices=["phase", "feature"])
+    p.add_argument("--out")
+    args = p.parse_args()
+    rep = run(mode=args.mode)
+    txt = json.dumps(dataclasses.asdict(rep))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+    print(txt)
 
 
 if __name__ == "__main__":

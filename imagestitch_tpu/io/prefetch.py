@@ -1,0 +1,93 @@
+"""Host pipeline parallelism: decode ∥ transfer ∥ device compute.
+
+The reference's stage chain (decode -> register -> fuse, timed separately at
+Stitcher.py:61-90) is strictly serial.  Here the three stages overlap
+(SURVEY §2.3 PP row): a worker thread decodes chunk k+1 while chunk k's
+host->device transfer and pooled feature extraction run — JAX dispatch is
+asynchronous, so issuing the chunk's pool computation returns immediately
+and the device crunches while libjpeg decodes the next chunk.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dataset
+
+
+class ChunkPrefetcher:
+    """One-chunk-lookahead decoded-batch iterator (double buffering).
+
+    Yields ``ImageBatch`` chunks of ``chunk_frames`` files; while the caller
+    processes chunk k, the worker thread is already decoding chunk k+1.
+    """
+
+    def __init__(self, files: Sequence[str], color_mode: bool,
+                 chunk_frames: int = 16):
+        self._files = list(files)
+        self._color = color_mode
+        self._chunk = max(chunk_frames, 2)
+        self._pool = ThreadPoolExecutor(max_workers=1)
+
+    def __iter__(self) -> Iterator[dataset.ImageBatch]:
+        spans = [(s, min(s + self._chunk, len(self._files)))
+                 for s in range(0, len(self._files), self._chunk)]
+        fut = self._pool.submit(dataset.load_batch,
+                                self._files[spans[0][0]:spans[0][1]],
+                                self._color)
+        for k in range(len(spans)):
+            batch = fut.result()
+            if k + 1 < len(spans):
+                s, e = spans[k + 1]
+                fut = self._pool.submit(dataset.load_batch,
+                                        self._files[s:e], self._color)
+            yield batch
+
+
+def pooled_features_pipelined(files: Sequence[str], cfg,
+                              chunk_frames: int = 16
+                              ) -> Tuple[tuple, jnp.ndarray]:
+    """Decode-overlapped pooled feature extraction for a whole sequence.
+
+    Returns ``(pool, gray_dev)``: the (rows, cols, scores, descs) keypoint
+    pool for every frame and the device-resident grayscale batch (kept for
+    composition).  Equivalent to ``load_batch`` + ``_precompute_pool`` but
+    with decode(k+1) ∥ transfer(k) ∥ pool-compute(k).
+    """
+    from ..core import feature_registration as freg
+
+    dev_chunks: List[jnp.ndarray] = []
+    pools = []
+    for batch in ChunkPrefetcher(files, color_mode=False,
+                                 chunk_frames=chunk_frames):
+        dev = jax.device_put(batch.gray)
+        # async dispatch: returns immediately, device computes while the
+        # prefetcher thread decodes the next chunk
+        pools.append(freg._precompute_pool(dev, cfg))
+        dev_chunks.append(dev)
+    gray_dev = jnp.concatenate(dev_chunks) if len(dev_chunks) > 1 \
+        else dev_chunks[0]
+    pool = tuple(jnp.concatenate([p[i] for p in pools])
+                 for i in range(len(pools[0])))
+    return pool, gray_dev
+
+
+def register_sequence_pipelined(files: Sequence[str], cfg,
+                                chunk_frames: int = 16):
+    """End-to-end decode-included registration of a file sequence.
+
+    Returns ``(records, gray_dev)`` — feature_incre pooled-path records
+    (identical to register_sequence_features_incre on the decoded batch;
+    detection is per-frame, so chunking changes nothing) plus the
+    device-resident grayscale frames.
+    """
+    from ..core import feature_registration as freg
+
+    pool, gray_dev = pooled_features_pipelined(files, cfg, chunk_frames)
+    n, h, w = gray_dev.shape
+    recs = freg.replay_from_pool(pool, n, (h, w), cfg)
+    return recs, gray_dev

@@ -1,10 +1,16 @@
 """Sharded batched execution steps.
 
 The multi-chip execution path (SURVEY §2.3): adjacent-pair registration is
-data-parallel over a ``pairs`` mesh axis — pair tensors are placed with a
-``NamedSharding`` and the vmapped FFT pipeline auto-partitions (XLA inserts
-no cross-device communication for the batched FFT; the only collective is the
-pose-graph solve's psum).
+data-parallel over a ``pairs`` mesh axis.  Two modes:
+
+  * phase  — pair tensors placed with a ``NamedSharding``; the vmapped FFT
+    pipeline auto-partitions (no cross-device communication; the only
+    collective is the pose-graph solve's psum);
+  * feature (the flagship) — frames sharded over the mesh; detection and
+    description run once per frame with zero communication, then the
+    adjacent-pair slices (``feats[:-1]`` vs ``feats[1:]``) let XLA insert
+    the one-frame halo exchange (a boundary collective-permute per shard),
+    and matching/voting run pair-parallel.
 """
 from __future__ import annotations
 
@@ -16,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..config import StitchConfig
 from ..ops import phase_corr, roi
+from ..ops.features import describe, detect, match, vote
 from ..solver import pose_graph as pg
 from .mesh import pad_to_multiple
 
@@ -62,6 +70,105 @@ def register_pairs_sharded(a: jnp.ndarray, b: jnp.ndarray, direction: int,
         sh, sw = h, roi.strip_length(w, ratio)
     hp, wp = phase_corr.optimal_dft_size(sh), phase_corr.optimal_dft_size(sw)
     return _register_pairs_jit(a, b, direction, ratio, hp, wp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_kp", "k_sel", "dparams", "sparams", "metric", "bounds_a",
+    "bounds_b", "vote_method"))
+def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
+                       dparams, sparams, metric: str,
+                       search_ratio: float, max_distance: float,
+                       bounds_a, bounds_b, vote_method: str):
+    """Full feature registration step over a frame-sharded (N, H, W) batch.
+
+    One (direction, scale) strip attempt for every adjacent pair: pooled
+    per-frame detect+describe (frame-parallel, no comm), strip-masked top-k
+    per side, MXU matching, mode/ransac vote.  Returns per-pair
+    (drow, dcol, votes, subpix_row, subpix_col), each (N-1,).
+    """
+    def per_frame(img):
+        r, c, s = detect.detect_image(img, max_kp, dparams)
+        d = describe.describe_batch(img[None], r[None], c[None], sparams)[0]
+        return r, c, s, d
+
+    rows, cols, scores, descs = jax.vmap(per_frame)(images)
+
+    def side(bounds):
+        r0, r1, c0, c1 = bounds
+        m = ((scores > 0) & (rows >= r0) & (rows < r1)
+             & (cols >= c0) & (cols < c1))
+        sel = jnp.where(m, scores, -1.0)
+        top_s, top_i = jax.lax.top_k(sel, k_sel)
+        take = lambda x: jnp.take_along_axis(x, top_i, axis=-1)
+        return (take(rows), take(cols), top_s > 0,
+                jnp.take_along_axis(descs, top_i[..., None], axis=-2))
+
+    ra, ca, va, da = side(bounds_a)
+    rb, cb, vb, db = side(bounds_b)
+    # adjacent pairs: frame k's A strip vs frame k+1's B strip — slicing a
+    # frame-sharded axis makes XLA exchange exactly one frame's features at
+    # each shard boundary
+    ti, ok = match.match_batch(da[:-1], db[1:], va[:-1], vb[1:],
+                               search_ratio, max_distance, metric)
+    d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
+        ra[:-1], ca[:-1], rb[1:], cb[1:], ti, ok)
+    if vote_method == "ransac":
+        dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
+        return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
+    dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+    drf, dcf = jax.vmap(vote.displacement_from_matches_f)(
+        ra[:-1], ca[:-1], rb[1:], cb[1:], ti)
+    sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
+    return dr, dc, nv, sr, sc
+
+
+def register_pairs_sharded_features(images: np.ndarray, mesh: Optional[Mesh],
+                                    cfg: Optional[StitchConfig] = None,
+                                    direction: int = 1, ratio: float = 0.5):
+    """Frame-sharded feature registration of all adjacent pairs.
+
+    Returns host arrays (drow, dcol, votes, subpix_row, subpix_col), each
+    (N-1,), full-image offsets (pooled-path semantics: margin pre-cancelled).
+    """
+    from ..core import feature_registration as freg
+    cfg = cfg or StitchConfig()
+    n, h, w = images.shape
+    imgs = np.asarray(images)
+    n_pad = n
+    if mesh is not None:
+        d = mesh.devices.size
+        n_pad = pad_to_multiple(max(n, d), d)
+        if n_pad != n:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], n_pad - n, axis=0)])
+        imgs = jax.device_put(imgs, NamedSharding(mesh, P(mesh.axis_names[0])))
+    else:
+        imgs = jnp.asarray(imgs)
+    bounds_a = freg._strip_bounds(direction, "first", ratio, h, w)
+    bounds_b = freg._strip_bounds(direction, "second", ratio, h, w)
+    _, _, metric = freg._families(cfg)
+    out = _feature_pairs_jit(
+        imgs, freg._capacity(cfg, cfg.features.pool_keypoints),
+        freg._capacity(cfg, cfg.features.max_keypoints),
+        freg._detect_params(cfg), freg._describe_params(cfg), metric,
+        cfg.features.search_ratio, freg._effective_max_distance(cfg),
+        bounds_a, bounds_b, cfg.offset_calculate)
+    return tuple(np.asarray(x)[:n - 1] for x in out)
+
+
+def distributed_stitch_step_features(images: np.ndarray, mesh: Mesh,
+                                     cfg: Optional[StitchConfig] = None,
+                                     direction: int = 1, ratio: float = 0.5,
+                                     cg_iters: int = 64) -> np.ndarray:
+    """Flagship multi-chip step: frame-sharded FEATURE registration ->
+    pose-graph solve with psum over the mesh.  Returns (N, 2) poses."""
+    cfg = cfg or StitchConfig()
+    dr, dc, nv, sr, sc = register_pairs_sharded_features(
+        images, mesh, cfg, direction, ratio)
+    offsets = np.stack([sr, sc], axis=1)
+    conf = np.maximum(nv.astype(np.float64), 1e-3)
+    graph = pg.PoseGraph.from_chain([tuple(o) for o in offsets], conf)
+    return pg.solve(graph, iters=cg_iters, mesh=mesh)
 
 
 def distributed_stitch_step(images: np.ndarray, mesh: Mesh,

@@ -1,0 +1,143 @@
+"""Grid loop-closure edges for the pose-graph solver.
+
+The reference chains pairwise offsets by prefix sum, so serpentine-grid
+drift is unbounded (reference: Stitcher.py:404-405 — SURVEY §2.3 calls this
+its biggest weakness).  On a grid, non-consecutive tiles overlap too (a
+tile overlaps the tile directly above it in the previous row); measuring
+those overlaps and adding them as extra pose-graph edges closes the loops
+and pins the drift.
+
+Pipeline:
+  1. ``propose_edges`` — from the chain-estimated positions, every
+     non-adjacent tile pair whose predicted overlap exceeds a fraction of
+     the tile area becomes a candidate;
+  2. ``verify_edges`` — each candidate is measured by phase correlation on
+     fixed-size windows around the predicted overlap (one batched device
+     dispatch; windows make this ~20x cheaper than whole-tile FFTs), and
+     candidates whose response clears the threshold become weighted edges;
+  3. the solver (solver/pose_graph.py) runs weighted least squares over the
+     chain + loop edges.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import phase_corr
+
+
+def propose_edges(positions: np.ndarray, image_shape: Tuple[int, int],
+                  min_overlap_frac: float = 0.04,
+                  max_candidates: int = 512) -> List[Tuple[int, int]]:
+    """Candidate (i, j) tile pairs (j > i + 1) whose chain-predicted overlap
+    area exceeds ``min_overlap_frac`` of the tile area."""
+    h, w = image_shape
+    pos = np.asarray(positions, np.float64)
+    n = len(pos)
+    cands = []
+    for i in range(n):
+        for j in range(i + 2, n):
+            dr = pos[j, 0] - pos[i, 0]
+            dc = pos[j, 1] - pos[i, 1]
+            ov_r = h - abs(dr)
+            ov_c = w - abs(dc)
+            if ov_r <= 0 or ov_c <= 0:
+                continue
+            frac = (ov_r * ov_c) / (h * w)
+            if frac >= min_overlap_frac:
+                cands.append((frac, i, j))
+    cands.sort(reverse=True)
+    return [(i, j) for _, i, j in cands[:max_candidates]]
+
+
+@functools.partial(jax.jit, static_argnames=("win_h", "win_w", "hp", "wp"))
+def _verify_windows_jit(images: jnp.ndarray, ia: jnp.ndarray, ib: jnp.ndarray,
+                        sa: jnp.ndarray, sb: jnp.ndarray,
+                        win_h: int, win_w: int, hp: int, wp: int):
+    """Phase-correlate per-edge windows: tile ia's window at sa vs tile ib's
+    window at sb.  One dispatch for the whole candidate batch."""
+    def one(a_idx, b_idx, s_a, s_b):
+        wa = jax.lax.dynamic_slice(images[a_idx], (s_a[0], s_a[1]),
+                                   (win_h, win_w)).astype(jnp.float32)
+        wb = jax.lax.dynamic_slice(images[b_idx], (s_b[0], s_b[1]),
+                                   (win_h, win_w)).astype(jnp.float32)
+        wa = wa - jnp.mean(wa)
+        wb = wb - jnp.mean(wb)
+        sx, sy, resp = phase_corr._phase_correlate_one(wa, wb, hp, wp)
+        # renormalize the response from padded to true window area
+        return sx, sy, resp * (float(hp) * wp / (win_h * win_w))
+
+    return jax.vmap(one)(ia, ib, sa, sb)
+
+
+def verify_edges(images: np.ndarray, positions: np.ndarray,
+                 edges: Sequence[Tuple[int, int]],
+                 pad: int = 64, response_threshold: float = 0.05
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Measure candidate edges by windowed phase correlation.
+
+    Returns (edges_a, edges_b, measurements, weights) for candidates whose
+    phase response clears ``response_threshold`` (weights = response).
+    The chain positions only LOCATE the windows (drift << pad); the
+    measured offset is independent of the prior's error.
+    """
+    if not edges:
+        z = np.zeros(0)
+        return z.astype(np.int32), z.astype(np.int32), z.reshape(0, 2), z
+    n, h, w = images.shape
+    pos = np.round(np.asarray(positions, np.float64)).astype(np.int64)
+    d0 = np.stack([pos[j] - pos[i] for i, j in edges])   # (E, 2) prior offset
+    # common static window size: max predicted overlap + 2*pad, clamped
+    ov_r = int(min(h, (h - np.abs(d0[:, 0])).max() + 2 * pad))
+    ov_c = int(min(w, (w - np.abs(d0[:, 1])).max() + 2 * pad))
+    win_h, win_w = max(ov_r, 2 * pad), max(ov_c, 2 * pad)
+    sa = np.zeros((len(edges), 2), np.int32)
+    sb = np.zeros((len(edges), 2), np.int32)
+    for k in range(len(edges)):
+        for ax, dim, wl in ((0, h, win_h), (1, w, win_w)):
+            a0 = int(np.clip(max(d0[k, ax], 0) - pad, 0, dim - wl))
+            b0 = int(np.clip(a0 - d0[k, ax], 0, dim - wl))
+            sa[k, ax] = a0
+            sb[k, ax] = b0
+    # 2x padding = full linear correlation: window anchor clipping can make
+    # the inter-window shift approach the window size, which a circularly
+    # padded correlation would alias (same repair as the whole-image phase
+    # path, core/registration.py)
+    hp = phase_corr.optimal_dft_size(2 * win_h)
+    wp = phase_corr.optimal_dft_size(2 * win_w)
+    ia = np.asarray([i for i, _ in edges], np.int32)
+    ib = np.asarray([j for _, j in edges], np.int32)
+    sx, sy, resp = _verify_windows_jit(jnp.asarray(images),
+                                       jnp.asarray(ia), jnp.asarray(ib),
+                                       jnp.asarray(sa), jnp.asarray(sb),
+                                       win_h, win_w, hp, wp)
+    sx, sy, resp = np.asarray(sx), np.asarray(sy), np.asarray(resp)
+    # cv2-style (x, y) is minus the displacement: window offset = (-y, -x);
+    # full measurement = window-anchor delta + measured window offset
+    meas = np.stack([sa[:, 0] - sb[:, 0] - sy, sa[:, 1] - sb[:, 1] - sx],
+                    axis=1)
+    keep = resp > response_threshold
+    return (ia[keep], ib[keep], meas[keep].astype(np.float32),
+            resp[keep].astype(np.float32))
+
+
+def close_loops(images: np.ndarray, graph, positions: np.ndarray,
+                image_shape: Tuple[int, int],
+                min_overlap_frac: float = 0.04,
+                response_threshold: float = 0.05):
+    """Chain graph + verified loop edges.  Returns (graph, n_edges_added)."""
+    cands = propose_edges(positions, image_shape, min_overlap_frac)
+    ia, ib, meas, wgt = verify_edges(images, positions, cands,
+                                     response_threshold=response_threshold)
+    if len(ia) == 0:
+        return graph, 0
+    # chain weights are vote counts / responses on a different scale than
+    # the loop edges' phase responses; normalize so the median loop edge
+    # carries the same weight as the median chain edge (equal trust)
+    chain_med = float(np.median(graph.weights)) if len(graph.weights) else 1.0
+    wgt = wgt / max(float(np.median(wgt)), 1e-6) * chain_med
+    return graph.with_extra_edges(ia, ib, meas, wgt), int(len(ia))
