@@ -107,10 +107,10 @@ def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
                                    enhance_clip, enhance_tiles)
         rb = enhance.enhance_batch(rb, enhance_mode == "clahe",
                                    enhance_clip, enhance_tiles)
-    rows_a, cols_a, sc_a = detect.detect_batch(ra, max_kp, dparams)
-    rows_b, cols_b, sc_b = detect.detect_batch(rb, max_kp, dparams)
-    da = describe.describe_batch(ra, rows_a, cols_a, sparams)
-    db = describe.describe_batch(rb, rows_b, cols_b, sparams)
+    fused = lambda im: detect.detect_describe_image(im, max_kp, dparams,
+                                                    sparams)
+    rows_a, cols_a, sc_a, da = jax.vmap(fused)(ra)
+    rows_b, cols_b, sc_b, db = jax.vmap(fused)(rb)
     valid_a = sc_a > 0
     valid_b = sc_b > 0
     train_idx, ok = match.match_batch(da, db, valid_a, valid_b,
@@ -182,16 +182,19 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
 # differs only within a filter-radius band at strip borders.
 # ---------------------------------------------------------------------------
 
-def _detect_image_hessian_pallas(img: jnp.ndarray, max_kp: int,
-                                 params: detect.DetectParams):
-    """Multi-octave blob detection with the Pallas DoH kernel per octave.
+def _detect_describe_image_pallas(img: jnp.ndarray, max_kp: int,
+                                  params: detect.DetectParams,
+                                  sparams: describe.DescribeParams):
+    """Multi-octave blob detect+describe with the Pallas DoH kernel.
 
-    Same structure as detect.detect_image_hessian; each octave's
-    response/NMS stage runs the VMEM-streaming kernel (ops/pallas/doh.py):
-    read-once/write-once HBM traffic.  Pool selection uses approx_max_k
-    (TPU-tuned bitonic partial reduction, ~98% recall) — the pool is a
-    top-K capacity heuristic, not reference semantics, and it saturates on
-    real micrographs, so the ~2% it trades are the weakest responses.
+    Same structure as detect.detect_describe_image — descriptors sampled on
+    the detection octave's image (window scales with the keypoint) — with
+    each octave's response/NMS stage on the VMEM-streaming kernel
+    (ops/pallas/doh.py): read-once/write-once HBM traffic.  Pool selection
+    uses approx_max_k (TPU-tuned bitonic partial reduction, ~98% recall) —
+    the pool is a top-K capacity heuristic, not reference semantics, and it
+    saturates on real micrographs, so the ~2% it trades are the weakest
+    responses.
     """
     from ..ops.pallas import doh
     x = img.astype(jnp.float32)
@@ -218,19 +221,24 @@ def _detect_image_hessian_pallas(img: jnp.ndarray, max_kp: int,
             dr, dc = detect.refine_subpixel(raw, r, c)
         else:
             dr = dc = jnp.zeros_like(flat_s)
+        ro = r.astype(jnp.float32) + dr
+        co = c.astype(jnp.float32) + dc
+        d = describe.describe_batch(xo[None], ro[None], co[None], sparams)[0]
         f = float(1 << o)
-        rows = (r.astype(jnp.float32) + dr) * f + (f - 1) / 2
-        cols = (c.astype(jnp.float32) + dc) * f + (f - 1) / 2
+        rows = ro * f + (f - 1) / 2
+        cols = co * f + (f - 1) / 2
         if kk < max_kp:
             rows = jnp.pad(rows, (0, max_kp - kk))
             cols = jnp.pad(cols, (0, max_kp - kk))
             flat_s = jnp.pad(flat_s, (0, max_kp - kk))
-        cand.append((rows, cols, flat_s))
+            d = jnp.pad(d, ((0, max_kp - kk), (0, 0)))
+        cand.append((rows, cols, flat_s, d))
     rows = jnp.concatenate([t[0] for t in cand])
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
+    descs = jnp.concatenate([t[3] for t in cand])
     top_s, top_i = jax.lax.top_k(scores, max_kp)
-    return rows[top_i], cols[top_i], top_s
+    return rows[top_i], cols[top_i], top_s, jnp.take(descs, top_i, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -249,11 +257,9 @@ def _pool_features_jit(images: jnp.ndarray, max_pool: int,
     def per_image(img):
         if (use_pallas_doh and dparams.family == "hessian"
                 and not dparams.box_filter):
-            r, c, s = _detect_image_hessian_pallas(img, max_pool, dparams)
-        else:
-            r, c, s = detect.detect_image(img, max_pool, dparams)
-        d = describe.describe_batch(img[None], r[None], c[None], sparams)
-        return r, c, s, d[0]
+            return _detect_describe_image_pallas(img, max_pool, dparams,
+                                                 sparams)
+        return detect.detect_describe_image(img, max_pool, dparams, sparams)
 
     return jax.lax.map(per_image, images)
 
@@ -479,24 +485,18 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
     sparams = _describe_params(cfg)
     max_kp = _capacity(cfg, cfg.features.max_keypoints)
 
-    # detect/describe every image once, in chunks
-    rows, cols, scores, descs = [], [], [], []
-    chunk = max(1, (1 << 28) // (4 * h * w * 4))
+    # detect/describe every image once (lax.map bounds peak HBM per frame)
     emode = _enhance_mode(cfg)
-    for s in range(0, n, chunk):
-        im = images_dev[s:s + chunk]
-        if emode != "none":
-            # reference enhances whole images on this path (Stitcher.py:269-276)
-            im = enhance.enhance_batch(im, emode == "clahe",
-                                       cfg.enhance.clip_limit,
-                                       cfg.enhance.tile_size)
-        r, c, sc = detect.detect_batch(im, max_kp, dparams)
-        d = describe.describe_batch(im, r, c, sparams)
-        rows.append(r); cols.append(c); scores.append(sc); descs.append(d)
-    rows = jnp.concatenate(rows)
-    cols = jnp.concatenate(cols)
-    scores = jnp.concatenate(scores)
-    descs = jnp.concatenate(descs)
+    im = images_dev
+    if emode != "none":
+        # reference enhances whole images on this path (Stitcher.py:269-276)
+        im = enhance.enhance_batch(im, emode == "clahe",
+                                   cfg.enhance.clip_limit,
+                                   cfg.enhance.tile_size)
+    use_doh = (cfg.use_pallas and jax.default_backend() == "tpu"
+               and emode == "none")
+    rows, cols, scores, descs = _pool_features_jit(
+        im, max_kp, dparams, sparams, use_pallas_doh=use_doh)
     valid = scores > 0
 
     # match adjacent pairs in chunks

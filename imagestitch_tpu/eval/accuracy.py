@@ -56,7 +56,10 @@ def dendritic_golden_89() -> List[Tuple[int, int]]:
 
 # (name, subdir, config builder) — mirrors Main.py:17-51
 def dataset_configs(feature_method: str = "surf") -> Dict[str, StitchConfig]:
-    feat = FeatureConfig(method=feature_method)
+    # the reference's whole-image path detects UNBOUNDED keypoints
+    # (ImageUtility.py:255-262); 4096 capacity matches cv2's typical yield
+    # on these frames (2-4.4k)
+    feat = FeatureConfig(method=feature_method, max_keypoints=4096)
     base = dict(offset_calculate="mode", offset_evaluate=3, roi_ratio=0.2,
                 fuse_method="fadeInAndFadeOut", features=feat)
     return {

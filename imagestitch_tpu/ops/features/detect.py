@@ -391,3 +391,70 @@ def detect_batch(images: jnp.ndarray, max_kp: int, params: DetectParams
     positions; padded entries have score <= 0 (invalid).
     """
     return jax.vmap(lambda im: detect_image(im, max_kp, params))(images)
+
+
+# --------------------------------------------------------------------------
+# Fused detect+describe: descriptors sampled AT THE DETECTION SCALE
+# --------------------------------------------------------------------------
+
+def detect_describe_image(img: jnp.ndarray, max_kp: int,
+                          params: DetectParams, sparams
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                     jnp.ndarray]:
+    """Detect AND describe one (H, W) image; descriptors are computed on the
+    detection octave/level image, so the descriptor window scales with the
+    keypoint (what cv2 SIFT/SURF do — a fixed full-res window loses
+    distinctiveness for coarse blobs, e.g. the sparse zircon TEM grains).
+
+    Returns (rows, cols, scores, descs) in FULL-RES coordinates, descs
+    (max_kp, D).
+    """
+    from . import describe as describe_mod
+    x = img.astype(jnp.dtype(params.dtype))
+    cand = []
+    if params.family == "corner":
+        h, w = x.shape
+        for lvl in range(params.first_level, params.n_levels):
+            s = params.scale_factor ** lvl
+            hs, ws = int(round(h / s)), int(round(w / s))
+            if min(hs, ws) <= 2 * params.edge_threshold + 8:
+                break
+            xl = x if lvl == 0 else jax.image.resize(x, (hs, ws), "linear")
+            gate = fast9_mask(xl, params.fast_threshold)
+            raw = harris_response(xl).astype(jnp.float32)
+            score = jnp.where(_nms3(raw) & gate & (raw > 0), raw, 0.0)
+            b = params.edge_threshold
+            r, c, sc = select_candidates(raw, score, max_kp,
+                                         (b, hs - b, b, ws - b),
+                                         params.subpixel)
+            d = describe_mod.describe_batch(xl[None], r[None], c[None],
+                                            sparams)[0]
+            cand.append(((r + 0.5) * s - 0.5, (c + 0.5) * s - 0.5, sc, d))
+    else:
+        xo = x
+        for o in range(params.n_octaves):
+            if o > 0:
+                # the octave image must still fit a descriptor window
+                # (oriented gather patch is 29 px)
+                if min(xo.shape) < 64:
+                    break
+                xo = _pool2(xo)
+            ho, wo = xo.shape
+            raw = octave_response(xo, params).astype(jnp.float32)
+            keep = _nms3(raw) & (raw > params.threshold)
+            score = jnp.where(keep, raw, 0.0)
+            bo = max(1, -(-params.border // (1 << o)))
+            r, c, s = select_candidates(raw, score, max_kp,
+                                        (bo, ho - bo, bo, wo - bo),
+                                        params.subpixel)
+            d = describe_mod.describe_batch(xo[None], r[None], c[None],
+                                            sparams)[0]
+            f = float(1 << o)
+            cand.append((r * f + (f - 1) / 2, c * f + (f - 1) / 2, s, d))
+    rows = jnp.concatenate([t[0] for t in cand])
+    cols = jnp.concatenate([t[1] for t in cand])
+    scores = jnp.concatenate([t[2] for t in cand])
+    descs = jnp.concatenate([t[3] for t in cand])
+    top_s, top_i = jax.lax.top_k(scores, max_kp)
+    return (rows[top_i], cols[top_i], top_s,
+            jnp.take(descs, top_i, axis=0))

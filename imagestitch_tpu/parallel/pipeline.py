@@ -86,12 +86,9 @@ def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
     per side, MXU matching, mode/ransac vote.  Returns per-pair
     (drow, dcol, votes, subpix_row, subpix_col), each (N-1,).
     """
-    def per_frame(img):
-        r, c, s = detect.detect_image(img, max_kp, dparams)
-        d = describe.describe_batch(img[None], r[None], c[None], sparams)[0]
-        return r, c, s, d
-
-    rows, cols, scores, descs = jax.vmap(per_frame)(images)
+    rows, cols, scores, descs = jax.vmap(
+        lambda im: detect.detect_describe_image(im, max_kp, dparams,
+                                                sparams))(images)
 
     def side(bounds):
         r0, r1, c0, c1 = bounds
