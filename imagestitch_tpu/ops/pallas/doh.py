@@ -133,7 +133,7 @@ def doh_score_map(image: jnp.ndarray, threshold: float = 10.0,
     score, raw = pl.pallas_call(
         _make_kernel(taps, _TILE, halo, threshold, border, h, w),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(blockspec, blockspec),
         out_shape=(jax.ShapeDtypeStruct((hp, w), jnp.float32),
                    jax.ShapeDtypeStruct((hp, w), jnp.float32)),
