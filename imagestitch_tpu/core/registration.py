@@ -238,8 +238,11 @@ def _phase_whole_jit(images: jnp.ndarray, hp: int, wp: int):
     """
     x = images.astype(jnp.float32)
     x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
-    f = jax.vmap(lambda u, v: phase_corr._phase_correlate_one(u, v, hp, wp))
-    sx, sy, resp = f(x[:-1], x[1:])
+    # lax.map bounds peak HBM to ONE pair's padded FFT temporaries (~2 GB at
+    # 2.6k x 2k frames); vmap over all pairs would materialize them all
+    sx, sy, resp = jax.lax.map(
+        lambda uv: phase_corr._phase_correlate_one(uv[0], uv[1], hp, wp),
+        (x[:-1], x[1:]))
     h, w = images.shape[1], images.shape[2]
     return sx, sy, resp * (float(hp) * wp / (h * w))
 

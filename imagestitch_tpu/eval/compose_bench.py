@@ -91,8 +91,13 @@ def _time(f) -> float:
 def main():
     import argparse
     p = argparse.ArgumentParser()
+    p.add_argument("--cpu-mesh", action="store_true",
+                   help="force the virtual CPU mesh (needs "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     p.add_argument("--out")
     args = p.parse_args()
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
     rep = run()
     txt = json.dumps(dataclasses.asdict(rep))
     if args.out:

@@ -46,9 +46,20 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
     """
     if images is None:
         rng = np.random.default_rng(0)
-        base = rng.integers(0, 255, (80 * 33 + 512, 768), np.uint8)
-        images = np.stack([base[80 * i:80 * i + 512] for i in range(33)])
+        if mode == "feature":
+            # detection is conv-heavy; keep the CPU-mesh validation run small
+            # (on real chips pass real frames via ``images``)
+            base = rng.integers(0, 255, (48 * 17 + 256, 384), np.uint8)
+            images = np.stack([base[48 * i:48 * i + 256] for i in range(17)])
+        else:
+            base = rng.integers(0, 255, (80 * 33 + 512, 768), np.uint8)
+            images = np.stack([base[80 * i:80 * i + 512] for i in range(33)])
     n = images.shape[0]
+    cfg = None
+    if mode == "feature":
+        from ..config import FeatureConfig, StitchConfig
+        cfg = StitchConfig(features=FeatureConfig(
+            pool_keypoints=512, max_keypoints=256))
     avail = jax.device_count()
     device_counts = device_counts or [d for d in (1, 2, 4, 8, 16, 32)
                                       if d <= avail]
@@ -60,7 +71,7 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
         if mode == "feature":
             def step():
                 return pipeline.register_pairs_sharded_features(
-                    images, mesh, direction=direction, ratio=ratio)
+                    images, mesh, cfg=cfg, direction=direction, ratio=ratio)
         else:
             a, b, n_pairs = pipeline.make_pair_tensors(images, mesh)
 
@@ -90,8 +101,14 @@ def main():
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="phase", choices=["phase", "feature"])
+    p.add_argument("--cpu-mesh", action="store_true",
+                   help="force the virtual CPU mesh (needs "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N; "
+                        "must run before any backend initializes)")
     p.add_argument("--out")
     args = p.parse_args()
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
     rep = run(mode=args.mode)
     txt = json.dumps(dataclasses.asdict(rep))
     if args.out:

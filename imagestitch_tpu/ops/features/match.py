@@ -21,7 +21,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.4e38)
+# plain float: a module-level jnp scalar would initialize the JAX backend
+# at import time, freezing the platform choice before callers can set it
+_BIG = 3.4e38
 
 
 def _pairwise_sq_l2(da: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
