@@ -65,6 +65,7 @@ class AttemptCache:
         self._evaluator = evaluator
         self._cache: Dict[Tuple[int, int], Dict[int, Dict[str, float]]] = {}
         self.dispatches = 0
+        self.pairs_evaluated: set = set()
 
     def get(self, direction: int, scale: int, ratio: float, pair: int,
             prefetch: Sequence[int]) -> Dict[str, float]:
@@ -75,6 +76,7 @@ class AttemptCache:
             idx = np.asarray(sorted(todo), np.int32)
             res = self._evaluator(direction, scale * ratio, idx)
             self.dispatches += 1
+            self.pairs_evaluated.update(int(p) for p in idx)
             for j, p in enumerate(idx):
                 store[int(p)] = {k: v[j] for k, v in res.items()}
         return store[pair]
@@ -86,7 +88,8 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
                         extract: Callable[[Dict[str, float]],
                                           Tuple[float, float, float]],
                         shape: Tuple[int, int],
-                        offsets_are_full: bool = False
+                        offsets_are_full: bool = False,
+                        pairs: Optional[Sequence[int]] = None
                         ) -> List[PairRegistration]:
     """Replay the reference's scale-growth x direction-rotation search.
 
@@ -97,20 +100,24 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
     offsets (pooled feature path) — skip the strip margin correction (the
     two formulations are algebraically identical: strip offset + margin ==
     full-image displacement, since the strip origins are integer).
+    ``pairs``: optional explicit pair subset to replay (the hybrid fallback
+    re-registers only failed pairs); results align with ``pairs`` order and
+    direction persists across the iterated subset.
     """
     out: List[PairRegistration] = []
     direction = cfg.direction
     max_i = max_roi_scale(cfg.roi_ratio)
-    for k in range(num_pairs):
+    pair_list = list(range(num_pairs)) if pairs is None else list(pairs)
+    for ki, k in enumerate(pair_list):
         ini_direction = direction
         local_direction = ini_direction
         status = False
         attempts = 0
         best = None
         # the replay decides pairs strictly in order, so at pair k the
-        # actually-unresolved set is exactly {k, ..., num_pairs-1}; the cache
-        # additionally skips members already evaluated at this (dir, scale)
-        unresolved = range(k, num_pairs)
+        # actually-unresolved set is exactly the remaining iterated pairs;
+        # the cache skips members already evaluated at this (dir, scale)
+        unresolved = pair_list[ki:]
         for i in range(1, max_i):
             while True:
                 # scale-1 configs are what later pairs will mostly need;
@@ -182,12 +189,22 @@ def pad_indices(idx: np.ndarray) -> Tuple[np.ndarray, int]:
     return np.concatenate([idx, np.full(b - n, idx[-1], idx.dtype)]), n
 
 
-def register_sequence_phase(images: np.ndarray, cfg: StitchConfig
+# Introspection for tests/harnesses: dispatch + pair-subset accounting of the
+# most recent register_sequence_phase call (e.g. the hybrid fallback must only
+# evaluate the failed pairs, not re-sweep the sequence).
+LAST_PHASE_STATS: Dict[str, object] = {}
+
+
+def register_sequence_phase(images: np.ndarray, cfg: StitchConfig,
+                            pairs: Optional[Sequence[int]] = None
                             ) -> List[PairRegistration]:
     """Incremental phase-correlation registration of a full sequence.
 
     ``images``: (N, H, W) uint8 grayscale batch (host or device).
     Replaces the reference's per-pair, per-attempt cv2.phaseCorrelate loop.
+    ``pairs``: optional explicit subset of pair indices to register (results
+    align with ``pairs``); used by the hybrid fallback so one failed pair
+    costs one-pair dispatches, not a full-sequence sweep.
     """
     images_dev = jnp.asarray(images)
     n, h, w = images.shape
@@ -223,7 +240,12 @@ def register_sequence_phase(images: np.ndarray, cfg: StitchConfig
         # (int() truncates toward zero), preserving the int semantics.
         return -float(res["sy"]), -float(res["sx"]), float(res["resp"])
 
-    return _replay_incremental(n - 1, cfg, cache, accept, extract, (h, w))
+    out = _replay_incremental(n - 1, cfg, cache, accept, extract, (h, w),
+                              pairs=pairs)
+    LAST_PHASE_STATS.clear()
+    LAST_PHASE_STATS.update(dispatches=cache.dispatches,
+                            pairs_evaluated=sorted(cache.pairs_evaluated))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("hp", "wp"))
@@ -300,10 +322,24 @@ def register_sequence_hybrid(images: np.ndarray, cfg: StitchConfig
     """
     from . import feature_registration
     feat = feature_registration.register_sequence_features_incre(images, cfg)
-    if all(r.ok for r in feat):
+    failed = [k for k, r in enumerate(feat) if not r.ok]
+    if not failed:
         return feat
-    phase = register_sequence_phase(images, cfg)
-    return [f if f.ok else p for f, p in zip(feat, phase)]
+    # fallback evaluates ONLY the failed pairs (subset dispatch); the phase
+    # search starts from the direction the last successful feature pair
+    # before the first failure established, mirroring the replay's
+    # direction-persistence semantics
+    direction = cfg.direction
+    for k in range(failed[0] - 1, -1, -1):
+        if feat[k].ok and feat[k].direction:
+            direction = feat[k].direction
+            break
+    phase = register_sequence_phase(images, cfg.replace(direction=direction),
+                                    pairs=failed)
+    out = list(feat)
+    for k, p in zip(failed, phase):
+        out[k] = p
+    return out
 
 
 # --------------------------------------------------------------------------

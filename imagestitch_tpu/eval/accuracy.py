@@ -122,9 +122,10 @@ def overlap_ncc(a: np.ndarray, b: np.ndarray,
     (or a degenerate constant patch).
     """
     h, w = a.shape[:2]
+    hb, wb = b.shape[:2]
     dr, dc = int(offset[0]), int(offset[1])
-    r0, r1 = max(0, dr), min(h, dr + h)
-    c0, c1 = max(0, dc), min(w, dc + w)
+    r0, r1 = max(0, dr), min(h, dr + hb)
+    c0, c1 = max(0, dc), min(w, dc + wb)
     if r1 - r0 < 8 or c1 - c0 < 8:
         return None
     pa = a[r0:r1, c0:c1].astype(np.float64)

@@ -44,6 +44,7 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
     mode = "phase" (FFT pair registration) or "feature" (the flagship:
     frame-sharded detect/describe + halo'd matching + mode vote).
     """
+    cfg = None
     if images is None:
         rng = np.random.default_rng(0)
         if mode == "feature":
@@ -54,12 +55,14 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
         else:
             base = rng.integers(0, 255, (80 * 33 + 512, 768), np.uint8)
             images = np.stack([base[80 * i:80 * i + 512] for i in range(33)])
+        if mode == "feature":
+            # synthetic CPU-mesh validation path only: shrink the keypoint
+            # pool so the virtual mesh sweep stays fast.  Real-frame runs
+            # (images passed in) keep the production FeatureConfig.
+            from ..config import FeatureConfig, StitchConfig
+            cfg = StitchConfig(features=FeatureConfig(
+                pool_keypoints=512, max_keypoints=256))
     n = images.shape[0]
-    cfg = None
-    if mode == "feature":
-        from ..config import FeatureConfig, StitchConfig
-        cfg = StitchConfig(features=FeatureConfig(
-            pool_keypoints=512, max_keypoints=256))
     avail = jax.device_count()
     device_counts = device_counts or [d for d in (1, 2, 4, 8, 16, 32)
                                       if d <= avail]

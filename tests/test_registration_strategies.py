@@ -49,6 +49,37 @@ def test_strategy_recovers_known_offsets(strategy):
             strategy, got, want)
 
 
+def test_hybrid_fallback_evaluates_only_failed_pairs():
+    """VERDICT r2 item 9: the phase fallback must dispatch over the FAILED
+    pair subset, not re-sweep the whole sequence (wrong shape at 1000 tiles).
+    """
+    from imagestitch_tpu.core import registration as reg
+    rng = np.random.default_rng(13)
+    base = _textured(rng, (900, 420), blobs=2800)
+    h, w = 256, 300
+    tl = [(0, 0), (180, 4), (360, 1), (540, 2)]
+    images = np.stack([base[r:r + h, c:c + w] for r, c in tl])
+    # pair 1 is pure noise on both sides -> feature voting fails there
+    images = images.copy()
+    images[2] = rng.integers(0, 255, (h, w), np.uint8)
+    cfg = StitchConfig(
+        registration="hybrid", direction=1, direct_incre=0,
+        roi_ratio=0.2, offset_evaluate=3,
+        features=FeatureConfig(max_keypoints=512, hessian_threshold=10.0))
+    recs = reg.register_sequence_hybrid(images, cfg)
+    assert len(recs) == 3
+    assert recs[0].ok and recs[0].offset == (180, 4)
+    # the phase stage must have seen ONLY the failed pairs {1, 2}
+    feat = reg.register_sequence_features_incre(images, cfg)
+    failed = {k for k, r in enumerate(feat) if not r.ok}
+    assert failed, "fixture must force at least one feature failure"
+    assert set(reg.LAST_PHASE_STATS["pairs_evaluated"]) <= failed
+    # feature-ok pairs keep their feature results
+    for k, (f, m) in enumerate(zip(feat, recs)):
+        if f.ok:
+            assert m.offset == f.offset
+
+
 @pytest.mark.skipif(not has_demo_images(),
                     reason="reference demoImages not present")
 def test_phase_whole_image_iron():
