@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "solver before composition (new capability)")
     s.add_argument("--report", help="write per-pair JSON report here")
     s.add_argument("--quiet", action="store_true")
+    s.add_argument("--mesh", default=None,
+                   help="device count for the distributed driver ('auto' = "
+                        "all visible devices): frame-sharded registration, "
+                        "pipelined ingest, sharded-canvas composition")
     return p
 
 
@@ -110,7 +114,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "stitch":
         cfg = config_from_args(args)
-        st = Stitcher(cfg)
+        mesh = None
+        if args.mesh:
+            import jax
+
+            from .parallel.mesh import make_mesh
+            n = jax.device_count() if args.mesh == "auto" else int(args.mesh)
+            mesh = make_mesh(n, axis="frames")
+        st = Stitcher(cfg, mesh=mesh)
         written = st.stitch_project_set(
             args.project, args.output, args.file_num,
             start_num=args.start_num, file_extension=args.file_extension,

@@ -56,6 +56,17 @@ class FeatureConfig:
     n_octave_layers: int = 3           # ImageUtility.py:25
     extended: bool = True              # 128-dim SURF descriptors (ImageUtility.py:26)
     upright: bool = False              # ImageUtility.py:28
+    auto_upright: bool = True          # engine fast path: register with
+                                       # UPRIGHT descriptors first (micrograph
+                                       # stages translate without rotating, so
+                                       # orientation estimation — ~85% of
+                                       # detect/describe device time — buys
+                                       # nothing), falling back to oriented
+                                       # descriptors for any pair that fails.
+                                       # Set False for strict single-pass
+                                       # reference behavior.
+    octave_topk_decay: int = 4         # per-octave keypoint budget divisor
+                                       # (see ops/features/detect.DetectParams)
     orb_n_features: int = 5000         # ImageUtility.py:31
     orb_scale_factor: float = 1.2      # ImageUtility.py:32
     orb_n_levels: int = 8              # ImageUtility.py:33

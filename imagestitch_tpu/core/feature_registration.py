@@ -20,6 +20,7 @@ detection is deterministic and independent of pair order.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Tuple
 
@@ -63,7 +64,8 @@ def _detect_params(cfg: StitchConfig) -> detect.DetectParams:
         first_level=f.orb_first_level,
         fast_threshold=float(f.orb_fast_threshold),
         edge_threshold=f.orb_edge_threshold,
-        dtype=cfg.compute_dtype)
+        dtype=cfg.compute_dtype,
+        octave_topk_decay=f.octave_topk_decay)
 
 
 def _describe_params(cfg: StitchConfig) -> describe.DescribeParams:
@@ -212,7 +214,8 @@ def _detect_describe_image_pallas(img: jnp.ndarray, max_kp: int,
             xo, threshold=params.threshold,
             n_scales=params.n_octave_layers,
             base_sigma=params.base_sigma, border=bo, spacing=spacing)
-        kk = min(max_kp, ho * wo)
+        bud = detect.octave_budget(max_kp, o, params.octave_topk_decay)
+        kk = min(bud, ho * wo)
         flat_s, flat_i = jax.lax.approx_max_k(
             score.reshape(-1), kk, recall_target=0.95)
         r = (flat_i // wo).astype(jnp.int32)
@@ -227,16 +230,17 @@ def _detect_describe_image_pallas(img: jnp.ndarray, max_kp: int,
         f = float(1 << o)
         rows = ro * f + (f - 1) / 2
         cols = co * f + (f - 1) / 2
-        if kk < max_kp:
-            rows = jnp.pad(rows, (0, max_kp - kk))
-            cols = jnp.pad(cols, (0, max_kp - kk))
-            flat_s = jnp.pad(flat_s, (0, max_kp - kk))
-            d = jnp.pad(d, ((0, max_kp - kk), (0, 0)))
         cand.append((rows, cols, flat_s, d))
     rows = jnp.concatenate([t[0] for t in cand])
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
     descs = jnp.concatenate([t[3] for t in cand])
+    if rows.shape[0] < max_kp:
+        pad = max_kp - rows.shape[0]
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        scores = jnp.pad(scores, (0, pad))
+        descs = jnp.pad(descs, ((0, pad), (0, 0)))
     top_s, top_i = jax.lax.top_k(scores, max_kp)
     return rows[top_i], cols[top_i], top_s, jnp.take(descs, top_i, axis=0)
 
@@ -371,6 +375,7 @@ class _PooledCache:
         self._metric = metric
         self._store: Dict[Tuple[int, int], Dict[int, Dict[str, float]]] = {}
         self.dispatches = 0
+        self.attempts_matched = 0   # (pair, direction, scale) matmuls issued
 
     def get(self, direction: int, scale: int, ratio: float, pair: int,
             prefetch) -> Dict[str, float]:
@@ -402,6 +407,7 @@ class _PooledCache:
                 _effective_max_distance(cfg), cfg.offset_calculate,
                 cfg.use_pallas and jax.default_backend() == "tpu")
             self.dispatches += 1
+            self.attempts_matched += len(idx_p) * len(configs)
             for (d, s), (dr, dc, nv, sr, sc) in zip(configs, results):
                 dstore = self._store.setdefault((d, s), {})
                 nv = np.asarray(nv)[:keep]
@@ -414,22 +420,73 @@ class _PooledCache:
         return store[pair]
 
 
-def replay_from_pool(pool, n: int, shape: Tuple[int, int], cfg: StitchConfig
-                     ) -> List[reg.PairRegistration]:
+def _pool_accept(cfg: StitchConfig):
+    def accept(res: Dict[str, float]) -> bool:
+        return bool(res["votes"] >= cfg.offset_evaluate)
+    return accept
+
+
+def _pool_extract(res: Dict[str, float]):
+    return float(res["drow"]), float(res["dcol"]), float(res["votes"])
+
+
+# Introspection (tests/bench): dispatch + matmul accounting of the most
+# recent replay_from_pool call.
+LAST_REPLAY_STATS: Dict[str, float] = {}
+
+
+def replay_from_pool(pool, n: int, shape: Tuple[int, int], cfg: StitchConfig,
+                     pairs=None) -> List[reg.PairRegistration]:
     """The reference's sequential decision replay over a precomputed
     keypoint pool (rows, cols, scores, descs)."""
     h, w = shape
     _, _, metric = _families(cfg)
     cache = _PooledCache(pool, cfg, h, w, metric)
+    out = reg._replay_incremental(n - 1, cfg, cache, _pool_accept(cfg),
+                                  _pool_extract, (h, w),
+                                  offsets_are_full=True, pairs=pairs)
+    LAST_REPLAY_STATS.clear()
+    LAST_REPLAY_STATS.update(
+        dispatches=cache.dispatches,
+        attempts_matched=cache.attempts_matched,
+        k_sel=_capacity(cfg, cfg.features.max_keypoints),
+        desc_dim=int(pool[3].shape[-1]))
+    return out
 
-    def accept(res: Dict[str, float]) -> bool:
-        return bool(res["votes"] >= cfg.offset_evaluate)
 
-    def extract(res: Dict[str, float]):
-        return float(res["drow"]), float(res["dcol"]), float(res["votes"])
-
-    return reg._replay_incremental(n - 1, cfg, cache, accept, extract,
-                                   (h, w), offsets_are_full=True)
+def _oriented_fallback_incre(images_dev, recs: List[reg.PairRegistration],
+                             cfg: StitchConfig, shape: Tuple[int, int]
+                             ) -> List[reg.PairRegistration]:
+    """Re-register the pairs the upright fast path could not, with the full
+    ORIENTED descriptor pipeline — but only over the frames those pairs
+    touch, so one stubborn pair costs a two-frame pool, not a sequence
+    recompute."""
+    failed = [k for k, r in enumerate(recs) if not r.ok]
+    frames = sorted({f for k in failed for f in (k, k + 1)})
+    fmap = {f: i for i, f in enumerate(frames)}
+    # for a failed pair k both k and k+1 are in ``frames`` with no integer
+    # between them, so mini-index(k) + 1 == mini-index(k+1) always holds
+    mini = _pool_features_jit(
+        images_dev[jnp.asarray(frames)],
+        _capacity(cfg, cfg.features.pool_keypoints),
+        _detect_params(cfg), _describe_params(cfg),
+        use_pallas_doh=cfg.use_pallas and jax.default_backend() == "tpu")
+    h, w = shape
+    _, _, metric = _families(cfg)
+    cache = _PooledCache(mini, cfg, h, w, metric)
+    direction = cfg.direction
+    for k in range(failed[0] - 1, -1, -1):
+        if recs[k].ok and recs[k].direction:
+            direction = recs[k].direction
+            break
+    sub = reg._replay_incremental(
+        len(frames) - 1, cfg.replace(direction=direction), cache,
+        _pool_accept(cfg), _pool_extract, (h, w), offsets_are_full=True,
+        pairs=[fmap[k] for k in failed])
+    out = list(recs)
+    for k, r in zip(failed, sub):
+        out[k] = r
+    return out
 
 
 def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
@@ -447,8 +504,18 @@ def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
     emode = _enhance_mode(cfg)
     use_strict = cfg.features.strict_roi_detect or emode != "none"
     if not use_strict:
-        pool = _precompute_pool(images_dev, cfg)
-        return replay_from_pool(pool, n, (h, w), cfg)
+        # upright-first fast path (auto_upright): orientation estimation is
+        # ~85% of pooled detect/describe device time and buys nothing on
+        # translation-only stages; pairs the upright pool cannot register
+        # fall back to the oriented pipeline over just their frames.
+        fast = cfg.features.auto_upright and not cfg.features.upright
+        cfg_pool = cfg.replace(features=dataclasses.replace(
+            cfg.features, upright=True)) if fast else cfg
+        pool = _precompute_pool(images_dev, cfg_pool)
+        recs = replay_from_pool(pool, n, (h, w), cfg_pool)
+        if fast and any(not r.ok for r in recs):
+            recs = _oriented_fallback_incre(images_dev, recs, cfg, (h, w))
+        return recs
     else:
         def evaluator(direction: int, ratio: float, idx: np.ndarray
                       ) -> Dict[str, np.ndarray]:
@@ -469,12 +536,47 @@ def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
                                    offsets_are_full=offsets_are_full)
 
 
+def _match_vote_adjacent(pool, ia: np.ndarray, cfg: StitchConfig,
+                         metric: str) -> List[reg.PairRegistration]:
+    """Match + vote frame pairs (ia[k], ia[k]+1-in-pool-order) of a pooled
+    feature set.  ``ia``: pool indices of each pair's A frame; B = ia + 1."""
+    rows, cols, scores, descs = pool
+    valid = scores > 0
+    out: List[reg.PairRegistration] = []
+    max_kp = descs.shape[1]
+    pchunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
+    for s in range(0, len(ia), pchunk):
+        sub = jnp.asarray(ia[s:s + pchunk])
+        ti, ok = match.match_batch(
+            descs[sub], descs[sub + 1], valid[sub], valid[sub + 1],
+            cfg.features.search_ratio, _effective_max_distance(cfg),
+            metric, use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
+        d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
+            rows[sub], cols[sub], rows[sub + 1], cols[sub + 1], ti, ok)
+        if cfg.offset_calculate == "ransac":
+            dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
+        else:
+            dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+        dr, dc, nv = np.asarray(dr), np.asarray(dc), np.asarray(nv)
+        for k in range(len(ia[s:s + pchunk])):
+            okk = bool(nv[k] >= cfg.offset_evaluate)
+            out.append(reg.PairRegistration(
+                ok=okk,
+                offset=(int(dr[k]), int(dc[k])) if okk else (0, 0),
+                offset_subpix=(float(dr[k]), float(dc[k])) if okk else (0.0, 0.0),
+                direction=cfg.direction if okk else 0,
+                scale=0, confidence=float(nv[k]), attempts=1))
+    return out
+
+
 def register_sequence_features(images: np.ndarray, cfg: StitchConfig
                                ) -> List[reg.PairRegistration]:
     """Whole-image feature search for every adjacent pair (non-incremental).
 
     Each image is detected/described once (cache-parity, see module
     docstring); adjacent pairs are then matched and mode-voted in batch.
+    With ``auto_upright`` (default) detection runs with upright descriptors
+    first; failed pairs retry with the oriented pipeline over their frames.
     """
     images_dev = jnp.asarray(images)
     n, h, w = images.shape
@@ -495,32 +597,21 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
                                    cfg.enhance.tile_size)
     use_doh = (cfg.use_pallas and jax.default_backend() == "tpu"
                and emode == "none")
-    rows, cols, scores, descs = _pool_features_jit(
-        im, max_kp, dparams, sparams, use_pallas_doh=use_doh)
-    valid = scores > 0
-
-    # match adjacent pairs in chunks
-    out: List[reg.PairRegistration] = []
-    pchunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
-    for s in range(0, n - 1, pchunk):
-        e = min(s + pchunk, n - 1)
-        ti, ok = match.match_batch(
-            descs[s:e], descs[s + 1:e + 1], valid[s:e], valid[s + 1:e + 1],
-            cfg.features.search_ratio, _effective_max_distance(cfg),
-            metric, use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
-        d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
-            rows[s:e], cols[s:e], rows[s + 1:e + 1], cols[s + 1:e + 1], ti, ok)
-        if cfg.offset_calculate == "ransac":
-            dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
-        else:
-            dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
-        dr, dc, nv = np.asarray(dr), np.asarray(dc), np.asarray(nv)
-        for k in range(e - s):
-            okk = bool(nv[k] >= cfg.offset_evaluate)
-            out.append(reg.PairRegistration(
-                ok=okk,
-                offset=(int(dr[k]), int(dc[k])) if okk else (0, 0),
-                offset_subpix=(float(dr[k]), float(dc[k])) if okk else (0.0, 0.0),
-                direction=cfg.direction if okk else 0,
-                scale=0, confidence=float(nv[k]), attempts=1))
+    fast = cfg.features.auto_upright and not cfg.features.upright
+    sparams_fast = dataclasses.replace(sparams, upright=True) if fast \
+        else sparams
+    pool = _pool_features_jit(im, max_kp, dparams, sparams_fast,
+                              use_pallas_doh=use_doh)
+    out = _match_vote_adjacent(pool, np.arange(n - 1), cfg, metric)
+    failed = [k for k, r in enumerate(out) if not r.ok]
+    if fast and failed:
+        frames = sorted({f for k in failed for f in (k, k + 1)})
+        fmap = {f: i for i, f in enumerate(frames)}
+        mini = _pool_features_jit(im[jnp.asarray(frames)], max_kp, dparams,
+                                  sparams, use_pallas_doh=use_doh)
+        sub = _match_vote_adjacent(mini,
+                                   np.asarray([fmap[k] for k in failed]),
+                                   cfg, metric)
+        for k, r in zip(failed, sub):
+            out[k] = r
     return out

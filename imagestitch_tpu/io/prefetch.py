@@ -26,7 +26,7 @@ class ChunkPrefetcher:
     processes chunk k, the worker thread is already decoding chunk k+1.
     """
 
-    def __init__(self, files: Sequence[str], color_mode: bool,
+    def __init__(self, files: Sequence[str], color_mode: bool = False,
                  chunk_frames: int = 16):
         self._files = list(files)
         self._color = color_mode
@@ -76,6 +76,37 @@ def pooled_features_pipelined(files: Sequence[str], cfg,
     return pool, gray_dev
 
 
+def load_batch_pipelined(files: Sequence[str], color_mode: bool,
+                         to_device: bool = True, chunk_frames: int = 16
+                         ) -> dataset.ImageBatch:
+    """``dataset.load_batch`` with decode(k+1) ∥ transfer(k) overlap.
+
+    With ``to_device`` the returned ``gray`` is a device-resident jnp array
+    (each chunk's host->device transfer overlaps the next chunk's libjpeg
+    decode); color frames (composition input) stay host-side.
+    ``to_device=False`` (mesh mode) keeps everything host-side so the
+    sharded registration can place frames with its own NamedSharding.
+    """
+    gray_chunks: List = []
+    color_chunks: List[np.ndarray] = []
+    all_files: List[str] = []
+    for batch in ChunkPrefetcher(files, color_mode=color_mode,
+                                 chunk_frames=chunk_frames):
+        g = jax.device_put(batch.gray) if to_device else batch.gray
+        gray_chunks.append(g)
+        if color_mode:
+            color_chunks.append(batch.color)
+        all_files.extend(batch.files)
+    gray = (jnp.concatenate(gray_chunks) if to_device
+            else np.concatenate(gray_chunks)) \
+        if len(gray_chunks) > 1 else gray_chunks[0]
+    color = None
+    if color_mode:
+        color = np.concatenate(color_chunks) if len(color_chunks) > 1 \
+            else color_chunks[0]
+    return dataset.ImageBatch(gray=gray, color=color, files=all_files)
+
+
 def register_sequence_pipelined(files: Sequence[str], cfg,
                                 chunk_frames: int = 16):
     """End-to-end decode-included registration of a file sequence.
@@ -85,9 +116,16 @@ def register_sequence_pipelined(files: Sequence[str], cfg,
     detection is per-frame, so chunking changes nothing) plus the
     device-resident grayscale frames.
     """
+    import dataclasses
+
     from ..core import feature_registration as freg
 
-    pool, gray_dev = pooled_features_pipelined(files, cfg, chunk_frames)
+    fast = cfg.features.auto_upright and not cfg.features.upright
+    cfg_pool = cfg.replace(features=dataclasses.replace(
+        cfg.features, upright=True)) if fast else cfg
+    pool, gray_dev = pooled_features_pipelined(files, cfg_pool, chunk_frames)
     n, h, w = gray_dev.shape
-    recs = freg.replay_from_pool(pool, n, (h, w), cfg)
+    recs = freg.replay_from_pool(pool, n, (h, w), cfg_pool)
+    if fast and any(not r.ok for r in recs):
+        recs = freg._oriented_fallback_incre(gray_dev, recs, cfg, (h, w))
     return recs, gray_dev

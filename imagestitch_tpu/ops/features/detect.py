@@ -55,6 +55,14 @@ class DetectParams:
     edge_threshold: int = 31
     dtype: str = "float32"         # conv/response dtype; box-filter integral
                                    # images always accumulate in float32
+    octave_topk_decay: int = 4     # per-octave candidate budget divisor:
+                                   # octave o keeps max_kp/decay^o candidates
+                                   # (floor 1024 — coarse octaves carry the
+                                   # blob-sparse sets, e.g. zirconTEM).  4
+                                   # matches the 4x area shrink per octave,
+                                   # so candidate DENSITY stays constant;
+                                   # descriptor cost drops ~2x vs. a flat
+                                   # budget.  1 = legacy flat budget.
 
 
 def _gauss_kernels(sigma: float, radius: int):
@@ -302,6 +310,22 @@ def select_candidates(raw: jnp.ndarray, score: jnp.ndarray, k: int,
     return rows, cols, top_s
 
 
+def octave_budget(max_kp: int, octave: int, decay: int) -> int:
+    """Candidate capacity for one octave under the density-matched decay."""
+    if decay <= 1 or octave == 0:
+        return max_kp
+    return max(max_kp // decay ** octave, min(1024, max_kp))
+
+
+def level_budget(max_kp: int, level: int, scale_factor: float,
+                 decay: int) -> int:
+    """ORB-pyramid analog: budget follows the level's area shrink."""
+    if decay <= 1 or level == 0:
+        return max_kp
+    area_shrink = scale_factor ** (2 * level)
+    return max(int(max_kp / area_shrink), min(1024, max_kp))
+
+
 def _pool2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 mean pool on (..., H, W) (H, W truncated to even)."""
     h2 = (x.shape[-2] // 2) * 2
@@ -333,7 +357,8 @@ def detect_image_hessian(img: jnp.ndarray, max_kp: int, params: DetectParams
         keep = _nms3(raw) & (raw > params.threshold)
         score = jnp.where(keep, raw, 0.0)
         bo = max(1, -(-params.border // (1 << o)))
-        r, c, s = select_candidates(raw, score, max_kp,
+        bud = octave_budget(max_kp, o, params.octave_topk_decay)
+        r, c, s = select_candidates(raw, score, bud,
                                     (bo, ho - bo, bo, wo - bo),
                                     params.subpixel)
         # octave coords -> full-res: pooled pixel centers sit at
@@ -343,6 +368,11 @@ def detect_image_hessian(img: jnp.ndarray, max_kp: int, params: DetectParams
     rows = jnp.concatenate([t[0] for t in cand])
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
+    if rows.shape[0] < max_kp:
+        pad = max_kp - rows.shape[0]
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        scores = jnp.pad(scores, (0, pad))
     top_s, top_i = jax.lax.top_k(scores, max_kp)
     return rows[top_i], cols[top_i], top_s
 
@@ -364,7 +394,9 @@ def detect_image_corner(img: jnp.ndarray, max_kp: int, params: DetectParams
         raw = harris_response(xl).astype(jnp.float32)
         score = jnp.where(_nms3(raw) & gate & (raw > 0), raw, 0.0)
         b = params.edge_threshold
-        r, c, sc = select_candidates(raw, score, max_kp,
+        bud = level_budget(max_kp, lvl - params.first_level,
+                           params.scale_factor, params.octave_topk_decay)
+        r, c, sc = select_candidates(raw, score, bud,
                                      (b, hs - b, b, ws - b),
                                      params.subpixel)
         # resize maps level coord c -> full coord (c + 0.5) * s - 0.5
@@ -372,6 +404,11 @@ def detect_image_corner(img: jnp.ndarray, max_kp: int, params: DetectParams
     rows = jnp.concatenate([t[0] for t in cand])
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
+    if rows.shape[0] < max_kp:
+        pad = max_kp - rows.shape[0]
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        scores = jnp.pad(scores, (0, pad))
     top_s, top_i = jax.lax.top_k(scores, max_kp)
     return rows[top_i], cols[top_i], top_s
 
@@ -424,7 +461,9 @@ def detect_describe_image(img: jnp.ndarray, max_kp: int,
             raw = harris_response(xl).astype(jnp.float32)
             score = jnp.where(_nms3(raw) & gate & (raw > 0), raw, 0.0)
             b = params.edge_threshold
-            r, c, sc = select_candidates(raw, score, max_kp,
+            bud = level_budget(max_kp, lvl - params.first_level,
+                               params.scale_factor, params.octave_topk_decay)
+            r, c, sc = select_candidates(raw, score, bud,
                                          (b, hs - b, b, ws - b),
                                          params.subpixel)
             d = describe_mod.describe_batch(xl[None], r[None], c[None],
@@ -444,7 +483,8 @@ def detect_describe_image(img: jnp.ndarray, max_kp: int,
             keep = _nms3(raw) & (raw > params.threshold)
             score = jnp.where(keep, raw, 0.0)
             bo = max(1, -(-params.border // (1 << o)))
-            r, c, s = select_candidates(raw, score, max_kp,
+            bud = octave_budget(max_kp, o, params.octave_topk_decay)
+            r, c, s = select_candidates(raw, score, bud,
                                         (bo, ho - bo, bo, wo - bo),
                                         params.subpixel)
             d = describe_mod.describe_batch(xo[None], r[None], c[None],
@@ -455,6 +495,12 @@ def detect_describe_image(img: jnp.ndarray, max_kp: int,
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
     descs = jnp.concatenate([t[3] for t in cand])
+    if rows.shape[0] < max_kp:
+        pad = max_kp - rows.shape[0]
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
+        scores = jnp.pad(scores, (0, pad))
+        descs = jnp.pad(descs, ((0, pad), (0, 0)))
     top_s, top_i = jax.lax.top_k(scores, max_kp)
     return (rows[top_i], cols[top_i], top_s,
             jnp.take(descs, top_i, axis=0))
