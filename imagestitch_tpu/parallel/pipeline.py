@@ -72,6 +72,33 @@ def register_pairs_sharded(a: jnp.ndarray, b: jnp.ndarray, direction: int,
     return _register_pairs_jit(a, b, direction, ratio, hp, wp)
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "wp"))
+def _register_pairs_whole_jit(a: jnp.ndarray, b: jnp.ndarray,
+                              hp: int, wp: int):
+    h, w = a.shape[-2], a.shape[-1]
+    x = a.astype(jnp.float32)
+    y = b.astype(jnp.float32)
+    x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+    y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
+    f = jax.vmap(lambda u, v: phase_corr._phase_correlate_one(u, v, hp, wp))
+    sx, sy, resp = f(x, y)
+    return sx, sy, resp * (float(hp) * wp / (h * w))
+
+
+def register_pairs_sharded_whole(a: jnp.ndarray, b: jnp.ndarray):
+    """Whole-tile LINEAR (2x-padded) phase registration of pair tensors.
+
+    Direction-free: any physically possible shift is unambiguous (same
+    repair as core/registration.register_sequence_phase_whole), so one
+    dispatch registers a serpentine grid whose in-row and row-transition
+    pairs move in different directions.  Offsets = (-sy, -sx).
+    """
+    h, w = a.shape[-2], a.shape[-1]
+    hp = phase_corr.optimal_dft_size(2 * h)
+    wp = phase_corr.optimal_dft_size(2 * w)
+    return _register_pairs_whole_jit(a, b, hp, wp)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "max_kp", "k_sel", "dparams", "sparams", "metric", "bounds_a",
     "bounds_b", "vote_method"))

@@ -34,22 +34,41 @@ def propose_edges(positions: np.ndarray, image_shape: Tuple[int, int],
                   min_overlap_frac: float = 0.04,
                   max_candidates: int = 512) -> List[Tuple[int, int]]:
     """Candidate (i, j) tile pairs (j > i + 1) whose chain-predicted overlap
-    area exceeds ``min_overlap_frac`` of the tile area."""
+    area exceeds ``min_overlap_frac`` of the tile area.
+
+    Spatial-hash candidate generation (VERDICT r2 item 8): tiles are bucketed
+    into an (h, w) cell grid by predicted position; two tiles can only
+    overlap if their cells are identical or adjacent, so each tile is tested
+    against its 3x3 cell neighborhood — O(n * density) instead of the O(n^2)
+    double loop (which at the 1000-tile stretch config is 500k pair tests
+    for ~2k real candidates).
+    """
     h, w = image_shape
     pos = np.asarray(positions, np.float64)
     n = len(pos)
-    cands = []
+    cells: dict = {}
     for i in range(n):
-        for j in range(i + 2, n):
-            dr = pos[j, 0] - pos[i, 0]
-            dc = pos[j, 1] - pos[i, 1]
-            ov_r = h - abs(dr)
-            ov_c = w - abs(dc)
-            if ov_r <= 0 or ov_c <= 0:
-                continue
-            frac = (ov_r * ov_c) / (h * w)
-            if frac >= min_overlap_frac:
-                cands.append((frac, i, j))
+        cells.setdefault((int(pos[i, 0] // h), int(pos[i, 1] // w)),
+                         []).append(i)
+    cands = []
+    for (cr, cc), members in cells.items():
+        neigh: List[int] = []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                neigh.extend(cells.get((cr + dr, cc + dc), ()))
+        for i in members:
+            for j in neigh:
+                if j <= i + 1:      # adjacent pairs are chain edges already
+                    continue
+                drow = pos[j, 0] - pos[i, 0]
+                dcol = pos[j, 1] - pos[i, 1]
+                ov_r = h - abs(drow)
+                ov_c = w - abs(dcol)
+                if ov_r <= 0 or ov_c <= 0:
+                    continue
+                frac = (ov_r * ov_c) / (h * w)
+                if frac >= min_overlap_frac:
+                    cands.append((frac, i, j))
     cands.sort(reverse=True)
     return [(i, j) for _, i, j in cands[:max_candidates]]
 
