@@ -258,6 +258,45 @@ def run(demo_root: str = "/root/reference/demoImages",
     return out
 
 
+# Detector-mode columns for the side-by-side table (VERDICT r2 item 5):
+#   default    — Gaussian-derivative DoH, auto-upright fast path (the
+#                production defaults the bench runs);
+#   box_filter — the reference detector's ACTUAL integral-image SURF box
+#                filters (ImageUtility.py:255-262), oriented descriptors:
+#                the bit-match-chasing mode;
+#   parity     — Gaussian DoH, oriented descriptors, flat octave budgets
+#                (the round-2 configuration, for continuity).
+MODES = {
+    "default": {},
+    "box_filter": {"box_filter": True, "auto_upright": False,
+                   "octave_topk_decay": 1},
+    "parity": {"auto_upright": False, "octave_topk_decay": 1},
+}
+
+
+def run_modes(demo_root: str = "/root/reference/demoImages",
+              names: Optional[List[str]] = None,
+              modes: Optional[List[str]] = None
+              ) -> Dict[str, Dict[str, DatasetAccuracy]]:
+    """Side-by-side detector-mode accuracy: {mode: {dataset: result}}."""
+    import dataclasses as dc
+    out: Dict[str, Dict[str, DatasetAccuracy]] = {}
+    for mode in (modes or list(MODES)):
+        patch = MODES[mode]
+        cfgs = dataset_configs()
+        res = {}
+        for name, cfg in cfgs.items():
+            if names and name not in names:
+                continue
+            if not os.path.isdir(os.path.join(demo_root, name)):
+                continue
+            if patch:
+                cfg = cfg.replace(features=dc.replace(cfg.features, **patch))
+            res[name] = evaluate_dataset(demo_root, name, cfg)
+        out[mode] = res
+    return out
+
+
 def main():
     import argparse
     from ..utils.cache import enable_compilation_cache
@@ -266,8 +305,21 @@ def main():
     p.add_argument("--demo-root", default="/root/reference/demoImages")
     p.add_argument("--datasets", nargs="*")
     p.add_argument("--feature-method", default="surf")
+    p.add_argument("--modes", nargs="*",
+                   help=f"detector-mode columns from {list(MODES)}; "
+                        f"side-by-side output")
     p.add_argument("--out")
     args = p.parse_args()
+    if args.modes:
+        res2 = run_modes(args.demo_root, args.datasets, args.modes)
+        payload = {m: {k: dataclasses.asdict(v) for k, v in r.items()}
+                   for m, r in res2.items()}
+        txt = json.dumps(payload, indent=2)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(txt)
+        print(txt)
+        return
     res = run(args.demo_root, args.datasets, args.feature_method)
     payload = {k: dataclasses.asdict(v) for k, v in res.items()}
     txt = json.dumps(payload, indent=2)

@@ -32,6 +32,10 @@ class ComposeBench:
     single_fps: float
     sharded_fps: float
     n_devices: int
+    sharded_dispatches: int = 0     # jitted scan groups per panorama
+    sharded_fuse_psums: int = 0     # collectives: ONE psum per fused image
+    host_cores: int = 0
+    note: str = ""
 
 
 def _serpentine(rng, n_rows=4, n_cols=6, h=256, w=320):
@@ -73,13 +77,25 @@ def run(images: Optional[np.ndarray] = None, offsets=None,
     bs = min(_time(t_single) for _ in range(repeats))
     bh = min(_time(t_sharded) for _ in range(repeats))
     from ..core.compose import compute_placement
+    from ..parallel.compose_sharded import LAST_COMPOSE_STATS
     rows, cols = compute_placement(offsets, images.shape[1:3]).canvas_shape
+    import os as _os
+    cores = _os.cpu_count() or 0
+    note = ""
+    if jax.default_backend() == "cpu":
+        note = (f"virtual CPU mesh on a {cores}-core host (device programs "
+                f"share the cores: ~{n_devices}/{cores}x oversubscription in "
+                f"the sharded wall-clock); the dispatch/psum counts are the "
+                f"hardware-independent overhead evidence")
     return ComposeBench(
         backend=jax.default_backend(), n_frames=n,
         image_shape=list(images.shape[1:]), canvas_shape=[rows, cols],
         fuse_method=fuse_method,
         single_fps=round(n / bs, 2), sharded_fps=round(n / bh, 2),
-        n_devices=n_devices)
+        n_devices=n_devices,
+        sharded_dispatches=int(LAST_COMPOSE_STATS.get("dispatches", 0)),
+        sharded_fuse_psums=int(LAST_COMPOSE_STATS.get("fuse_psums", 0)),
+        host_cores=cores, note=note)
 
 
 def _time(f) -> float:

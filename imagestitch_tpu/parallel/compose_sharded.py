@@ -5,10 +5,12 @@ The reference materializes one monolithic canvas and fuses serially
 into row blocks across the mesh (the stitching analog of context/sequence
 parallelism, SURVEY §2.3): every device owns a (R/D, C) block resident in its
 HBM and applies each paste locally — no communication.  A fusion rect that
-crosses block boundaries is assembled with a ``psum`` halo exchange (each
+crosses block boundaries is assembled with ONE ``psum`` halo exchange (each
 device contributes its masked slice; blocks partition rows so the sum IS the
-gather), the blend math runs replicated (rects are strip-sized), and each
-device writes back only its rows.
+gather); the post-paste ROI derives locally from the gathered pre-paste ROI
+(``_paste_into_rect``), the blend math runs replicated (rects are
+strip-sized), and each device writes back only its rows — one collective per
+fused image total.
 
 Execution model (round 2, performance-grade): steps are planned and grouped
 exactly like the single-chip composer (core/compose.plan_groups — one shared
@@ -92,6 +94,31 @@ def _gather_rect(canvas_local: jnp.ndarray, rr0, rc0, rh: int, rw: int,
     return jax.lax.psum(contrib, axis)
 
 
+def _paste_into_rect(roi: jnp.ndarray, img: jnp.ndarray, r, c, rr0, rc0
+                     ) -> jnp.ndarray:
+    """Paste ``img`` (global top-left (r, c)) into the replicated window
+    ``roi`` anchored at global (rr0, rc0) — PURE LOCAL arithmetic.
+
+    This is how the post-paste ROI is derived from the pre-paste ROI without
+    a second halo exchange: every device already holds ``roi`` replicated
+    (psum output) and ``img``, so the fuse step costs ONE collective, not
+    two (round-2 ran a gather-scatter-gather sequence per step).
+    """
+    bh, bw = roi.shape[0], roi.shape[1]
+    chan = roi.shape[2:]
+    ih, iw = img.shape[0], img.shape[1]
+    pad_spec = ((bh, bh), (bw, bw)) + ((0, 0),) * len(chan)
+    padded = jnp.pad(img.astype(roi.dtype), pad_spec)
+    win = jax.lax.dynamic_slice(
+        padded, (rr0 - r + bh, rc0 - c + bw) + (0,) * len(chan),
+        (bh, bw) + chan)
+    gr = rr0 + jnp.arange(bh)
+    gc = rc0 + jnp.arange(bw)
+    rmask = ((gr >= r) & (gr < r + ih)).reshape((bh, 1) + (1,) * len(chan))
+    cmask = ((gc >= c) & (gc < c + iw)).reshape((1, bw) + (1,) * len(chan))
+    return jnp.where(rmask & cmask, win, roi)
+
+
 # --------------------------------------------------------------------------
 # Group executors: ONE jitted shard_map scan per group (compile-cached per
 # (mesh, shapes, method))
@@ -124,8 +151,8 @@ def _fusep_scan_sharded(mesh: Mesh, axis: str, bh: int, bw: int,
         def step(cv, x):
             img, p, anc, g, pw = x
             roi_a = _gather_rect(cv, anc[0], anc[1], bh, bw, axis)
+            roi_b = _paste_into_rect(roi_a, img, p[0], p[1], anc[0], anc[1])
             cv = _scatter_local(cv, img, p[0], p[1], axis)
-            roi_b = _gather_rect(cv, anc[0], anc[1], bh, bw, axis)
             fused = blend.fuse_region_padded(roi_a, roi_b, pw[0], pw[1],
                                              g[0], g[1], g[2], g[3],
                                              method, color)
@@ -149,8 +176,9 @@ def _fuse_exact_scan_sharded(mesh: Mesh, axis: str, rh: int, rw: int,
         def step(cv, x):
             img, p, rect, pw = x
             roi_a = _gather_rect(cv, rect[0], rect[1], rh, rw, axis)
+            roi_b = _paste_into_rect(roi_a, img, p[0], p[1],
+                                     rect[0], rect[1])
             cv = _scatter_local(cv, img, p[0], p[1], axis)
-            roi_b = _gather_rect(cv, rect[0], rect[1], rh, rw, axis)
             fused = _fuse_dispatch(roi_a, roi_b, pw[0], pw[1], method, color)
             return _scatter_local(cv, fused, rect[0], rect[1], axis), None
 
@@ -163,6 +191,12 @@ def _fuse_exact_scan_sharded(mesh: Mesh, axis: str, rh: int, rw: int,
 # --------------------------------------------------------------------------
 # Entry point
 # --------------------------------------------------------------------------
+
+# Introspection for harnesses: dispatch + collective accounting of the most
+# recent compose_sharded call (counts are by construction: one jitted scan
+# per group; one psum per fused image; pastes are communication-free).
+LAST_COMPOSE_STATS: dict = {}
+
 
 def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
                     cfg: StitchConfig, mesh: Mesh,
@@ -204,8 +238,13 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
             steps.append(("fuse", i, (r, c), (rr0, rc0),
                           (rr1 - rr0, rc1 - rc0)))
 
+    n_dispatch = 0
+    n_psum = 0
     for kind, rect_shape, idxs, pos, aux, geoms in plan_groups(
             steps, cfg.fuse_method, rows_p, cols):
+        n_dispatch += 1
+        if kind != "paste":
+            n_psum += len(idxs)
         imgs = images_dev[jnp.asarray(idxs, jnp.int32)]
         pos = jnp.asarray(pos, jnp.int32)
         if kind == "paste":
@@ -223,6 +262,9 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
                                           cfg.fuse_method, color)
             canvas = fn(canvas, imgs, pos, jnp.asarray(aux, jnp.int32),
                         jnp.asarray([pairwise[i] for i in idxs], jnp.int32))
+    LAST_COMPOSE_STATS.clear()
+    LAST_COMPOSE_STATS.update(dispatches=n_dispatch, fuse_psums=n_psum,
+                              n_images=n, n_devices=d)
     out = _finalize(canvas)
     if return_device:
         return out, rows
