@@ -45,9 +45,25 @@ def _residuals(pos: np.ndarray, ia, ib, meas) -> np.ndarray:
 
 
 def run(demo_root: str = "/root/reference/demoImages",
-        name: str = "dendriticCrystal") -> DriftReport:
+        name: str = "dendriticCrystal", subset=None,
+        downsample: int = 1) -> DriftReport:
+    """``subset``: optional (start, end) frame range; ``downsample``: integer
+    block-mean factor (CPU-test speed; the committed TPU artifact runs
+    full-resolution, downsample=1)."""
     files = dataset.list_project_images(os.path.join(demo_root, name), 1)
+    if subset is not None:
+        files = files[subset[0]:subset[1]]
     batch = dataset.load_batch(files, color_mode=False)
+    gray_all = batch.gray
+    if downsample > 1:
+        n0, h0, w0 = gray_all.shape
+        h2 = (h0 // downsample) * downsample
+        w2 = (w0 // downsample) * downsample
+        gray_all = gray_all[:, :h2, :w2].reshape(
+            n0, h2 // downsample, downsample, w2 // downsample, downsample
+        ).mean(axis=(2, 4)).astype(np.uint8)
+        batch = dataset.ImageBatch(gray=gray_all, color=None,
+                                   files=batch.files)
     cfg = StitchConfig(registration="feature_incre", direction=1,
                        direct_incre=1, roi_ratio=0.2,
                        features=FeatureConfig(method="surf"))

@@ -69,3 +69,21 @@ def test_propose_edges_skips_non_overlapping():
     pos = np.asarray([[0, 0], [0, 300], [0, 600], [0, 900]], np.float64)
     cands = loop_closure.propose_edges(pos, (200, 250))
     assert cands == []   # linear strip: only adjacent tiles overlap
+
+
+def test_real_dendritic_subset_solver_beats_chain():
+    """VERDICT r2 item 6: e2e solver evidence on REAL dendritic frames — a
+    14-frame subset spanning the first serpentine row transition (2x
+    block-mean downsampled for CPU test speed; the committed TPU artifact
+    baselines/drift_dendritic.json runs full resolution).  The solved
+    positions must explain the measured loop-closure overlaps better than
+    the reference-style prefix-sum chain."""
+    from conftest import has_demo_images
+    import pytest
+    if not has_demo_images():
+        pytest.skip("reference demoImages not present")
+    from imagestitch_tpu.eval import loop_closure_demo
+    rep = loop_closure_demo.run(subset=(8, 22), downsample=2)
+    assert rep.n_loop_edges >= 3
+    assert rep.solved_mean_residual_px < rep.chain_mean_residual_px
+    assert rep.solved_max_residual_px <= rep.chain_max_residual_px
