@@ -132,6 +132,11 @@ class StitchConfig:
                                        # ("bfloat16" halves response-map HBM
                                        # traffic; FFTs always run float32)
     use_pallas: bool = True            # enable Pallas kernels where profitable
+    phase_hbm_budget: int = 2 << 30    # per-chip budget for the whole-image
+                                       # phase path's padded FFT working set;
+                                       # with a mesh, over-budget pairs route
+                                       # through the tensor-parallel sharded
+                                       # FFT (parallel/tp_fft.py)
 
     # --- logging / evaluation (ImageUtility.py:9-12) ---------------------------
     print_log: bool = False

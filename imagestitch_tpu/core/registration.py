@@ -269,8 +269,8 @@ def _phase_whole_jit(images: jnp.ndarray, hp: int, wp: int):
     return sx, sy, resp * (float(hp) * wp / (h * w))
 
 
-def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
-                                  ) -> List[PairRegistration]:
+def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig,
+                                  mesh=None) -> List[PairRegistration]:
     """Whole-image phase correlation for all pairs in one dispatch.
 
     Working replacement for the reference's vestigial
@@ -288,12 +288,32 @@ def register_sequence_phase_whole(images: np.ndarray, cfg: StitchConfig
       * mean-subtract before padding and renormalize the response (see
         ``_phase_whole_jit``).
     """
-    images_dev = jnp.asarray(images)
     n, h, w = images.shape
     if n < 2:
         return []
     hp = phase_corr.optimal_dft_size(2 * h)
     wp = phase_corr.optimal_dft_size(2 * w)
+    working = 6 * hp * wp * 8   # padded complex64 surfaces (tp_fft's model)
+    if mesh is not None and mesh.devices.size > 1 \
+            and working > cfg.phase_hbm_budget:
+        # over-budget strip: the tensor-parallel transpose-decomposed FFT —
+        # no device ever materializes the full padded surface
+        from ..parallel import tp_fft
+        host = np.asarray(images).astype(np.float32)
+        host = host - host.mean(axis=(1, 2), keepdims=True)
+        out: List[PairRegistration] = []
+        for k in range(n - 1):
+            sxk, syk, rk = tp_fft.phase_correlate_sharded(
+                host[k], host[k + 1], mesh, hp, wp)
+            rk *= float(hp) * wp / (h * w)
+            ok = bool(rk > cfg.phase_response_threshold)
+            out.append(PairRegistration(
+                ok=ok, offset=(int(np.round(-syk)), int(np.round(-sxk))),
+                offset_subpix=(float(-syk), float(-sxk)),
+                direction=cfg.direction if ok else 0,
+                scale=0, confidence=float(rk), attempts=1))
+        return out
+    images_dev = jnp.asarray(images)
     sx, sy, resp = _phase_whole_jit(images_dev, hp, wp)
     sx, sy, resp = np.asarray(sx), np.asarray(sy), np.asarray(resp)
     out: List[PairRegistration] = []

@@ -66,7 +66,8 @@ class Stitcher:
         if self.cfg.registration == "phase_incre":
             recs = registration.register_sequence_phase(gray, cfg)
         elif self.cfg.registration == "phase":
-            recs = registration.register_sequence_phase_whole(gray, cfg)
+            recs = registration.register_sequence_phase_whole(gray, cfg,
+                                                              mesh=self.mesh)
         elif self.cfg.registration == "feature_incre":
             if self.mesh is not None and self.mesh.devices.size > 1 \
                     and not cfg.features.strict_roi_detect \

@@ -47,3 +47,28 @@ def test_auto_dispatch_uses_sharded_over_budget():
     assert abs(s_shard[0] - s_one[0]) < 0.05
     assert abs(s_shard[1] - s_one[1]) < 0.05
     assert abs(-s_one[1] - 12) < 0.5 and abs(-s_one[0] - 5) < 0.5
+
+
+def test_whole_phase_routes_through_tp_fft_over_budget():
+    """Driver wiring (VERDICT r2 item 2): with a mesh and a tiny HBM budget
+    the whole-image phase path runs the tensor-parallel sharded FFT and
+    matches the single-device offsets."""
+    import numpy as np
+    from imagestitch_tpu import StitchConfig
+    from imagestitch_tpu.core import registration as reg
+    from imagestitch_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    base = np.clip(rng.normal(128, 40, (420, 300)), 0, 255).astype(np.uint8)
+    ys = rng.integers(3, 417, 3000)
+    xs = rng.integers(3, 297, 3000)
+    base[ys, xs] = 255
+    images = np.stack([base[0:256, 0:256], base[97:353, 2:258]])
+    cfg = StitchConfig(registration="phase", direction=1, direct_incre=0)
+    single = reg.register_sequence_phase_whole(images, cfg)
+    mesh = make_mesh(8, axis="pairs")
+    tiny = cfg.replace(phase_hbm_budget=1)   # force the sharded route
+    sharded = reg.register_sequence_phase_whole(images, tiny, mesh=mesh)
+    assert single[0].ok and sharded[0].ok
+    assert single[0].offset == sharded[0].offset == (97, 2)
+    assert abs(single[0].confidence - sharded[0].confidence) < 1e-3
