@@ -357,13 +357,13 @@ def _pool_attempt_multi_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 class _PooledCache:
     """AttemptCache-compatible store over the keypoint pool.
 
-    Dispatch policy: the big initial sweep (every unresolved pair at the
-    current direction/scale) computes ONLY the requested direction — on a
-    straight-line or serpentine scan nearly every pair matches there, so
-    computing all four up front would be ~4x wasted MXU time.  Small misses
-    (the few pairs that survive to a direction turn or a deeper scale)
-    compute all four directions in the one dispatch, trading cheap compute
-    for saved round trips.
+    Dispatch policy: a big sweep (every unresolved pair) computes ALL FOUR
+    directions of the requested scale in the one dispatch — through the
+    tunnel a dispatch costs ~0.2 s of latency while the extra three
+    directions cost only masked top-k + matmul time (~ms), and a serpentine
+    grid's alternating rows need directions 1/2/3 anyway.  Small misses
+    (the few pairs that survive to a deeper scale) speculate every
+    remaining (direction, scale) configuration at once.
     """
 
     _SMALL = 16   # <= this many pairs: speculate all 4 directions
@@ -388,7 +388,9 @@ class _PooledCache:
             h, w = self._hw
             cfg = self._cfg
             if len(idx) > self._SMALL:
-                configs = [(direction, scale)]
+                configs = [(direction, scale)] + [
+                    (d, scale) for d in (1, 2, 3, 4)
+                    if d != direction and (d, scale) not in self._store]
             else:
                 # stragglers: every (direction, remaining scale) at once —
                 # the replay will rotate through most of them anyway

@@ -166,6 +166,10 @@ class DatasetAccuracy:
     mean_overlap_ncc: Optional[float] = None
     mean_overlap_ncc_golden: Optional[float] = None
     ncc_wins: Optional[int] = None
+    # per-pair evidence table: {pair, ours, golden, ncc_ours, ncc_golden} —
+    # the pair-by-pair NCC analysis backing the "our offsets explain the
+    # pixels at least as well as the oracle" claim on oracle-scored sets
+    pair_detail: Optional[List[dict]] = None
 
 
 def _score(recs, goldens, shape):
@@ -217,6 +221,7 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
         mean_fb = float(np.mean(errs_fb)) if errs_fb else None
 
     ncc_ours, ncc_gold, wins = [], [], 0
+    detail = []
     for k, (r, gld) in enumerate(zip(recs, goldens)):
         if gld is None or not r.ok:
             continue
@@ -229,6 +234,9 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
         ncc_ours.append(no)
         ncc_gold.append(ng)
         wins += no >= ng - 1e-4
+        detail.append({"pair": k, "ours": list(r.offset),
+                       "golden": list(gld),
+                       "ncc_ours": round(no, 6), "ncc_golden": round(ng, 6)})
 
     return DatasetAccuracy(
         name=name, num_pairs=len(recs), num_ok=sum(r.ok for r in recs),
@@ -241,7 +249,8 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
         mean_abs_err_fallback_px=mean_fb,
         mean_overlap_ncc=float(np.mean(ncc_ours)) if ncc_ours else None,
         mean_overlap_ncc_golden=float(np.mean(ncc_gold)) if ncc_gold else None,
-        ncc_wins=wins if ncc_ours else None)
+        ncc_wins=wins if ncc_ours else None,
+        pair_detail=detail or None)
 
 
 def run(demo_root: str = "/root/reference/demoImages",

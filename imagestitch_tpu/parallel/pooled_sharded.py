@@ -144,7 +144,11 @@ class ShardedPooledCache:
             cfg = self._cfg
             h, w = self._hw
             if len(list(prefetch)) > self._SMALL:
-                configs = [(direction, scale)]
+                # all four directions of this scale in the one dispatch
+                # (dispatch latency >> the masked top-k + matmul cost)
+                configs = [(direction, scale)] + [
+                    (d, scale) for d in (1, 2, 3, 4)
+                    if d != direction and (d, scale) not in self._store]
             else:
                 configs = [(d, s) for s in range(scale, max_roi_scale(ratio))
                            for d in (1, 2, 3, 4)
