@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device count for the distributed driver ('auto' = "
                         "all visible devices): frame-sharded registration, "
                         "pipelined ingest, sharded-canvas composition")
+    s.add_argument("--platform", default=None,
+                   choices=["cpu", "tpu"],
+                   help="force the jax backend (this container's "
+                        "sitecustomize pins the TPU plugin at interpreter "
+                        "start, so the env var alone cannot select cpu)")
     return p
 
 
@@ -109,9 +114,13 @@ def config_from_args(args) -> StitchConfig:
 
 
 def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
     if args.command == "stitch":
         cfg = config_from_args(args)
         mesh = None
