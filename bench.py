@@ -254,35 +254,38 @@ def main():
     t_rb = stitch_all(read_back=True)
     fps_rb = n / t_rb
 
-    # ---- warm per-phase decomposition (device-fenced) ----
+    # ---- warm per-phase decomposition (device-fenced; min of 2 passes:
+    # a single fenced pass can catch a tunnel hiccup worth seconds) ----
     fast = cfg.features.auto_upright and not cfg.features.upright
     cfg_pool = cfg.replace(features=dataclasses.replace(
         cfg.features, upright=True)) if fast else cfg
-    t0 = time.time()
-    pool = _fence(freg._precompute_pool(gray, cfg_pool))
-    t_pool = time.time() - t0
-    t0 = time.time()
-    recs = freg.replay_from_pool(pool, n, (h, w), cfg_pool)
-    t_replay = time.time() - t0
-    replay_stats = dict(freg.LAST_REPLAY_STATS)
-    t0 = time.time()
-    if fast and any(not r.ok for r in recs):
-        recs = freg._oriented_fallback_incre(gray, recs, cfg, (h, w))
-    t_fallback = time.time() - t0
-    outs = []
-    t0 = time.time()
-    for s, e in _segments(recs, n):
-        if e - s < 2:
-            outs.append(gray[s:e][0])
-            continue
-        offs = [recs[k].offset for k in range(s, e - 1)]
-        outs.append(compose(gray[s:e], offs, cfg, return_device=True))
-    _fence(outs)
-    t_compose = time.time() - t0
-    t0 = time.time()
-    for o in outs:
-        np.asarray(o)
-    t_readback = time.time() - t0
+    t_pool = t_replay = t_fallback = t_compose = t_readback = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pool = _fence(freg._precompute_pool(gray, cfg_pool))
+        t_pool = min(t_pool, time.time() - t0)
+        t0 = time.time()
+        recs = freg.replay_from_pool(pool, n, (h, w), cfg_pool)
+        t_replay = min(t_replay, time.time() - t0)
+        replay_stats = dict(freg.LAST_REPLAY_STATS)
+        t0 = time.time()
+        if fast and any(not r.ok for r in recs):
+            recs = freg._oriented_fallback_incre(gray, recs, cfg, (h, w))
+        t_fallback = min(t_fallback, time.time() - t0)
+        outs = []
+        t0 = time.time()
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                outs.append(gray[s:e][0])
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            outs.append(compose(gray[s:e], offs, cfg, return_device=True))
+        _fence(outs)
+        t_compose = min(t_compose, time.time() - t0)
+        t0 = time.time()
+        for o in outs:
+            np.asarray(o)
+        t_readback = min(t_readback, time.time() - t0)
 
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
     match_fl = _match_flops(replay_stats)

@@ -83,3 +83,23 @@ def test_cli_bad_project_is_graceful(tmp_path, capsys):
                    "--file-extension", "png"])
     assert rc == 0
     assert "skipping" in capsys.readouterr().out
+
+
+def test_cli_platform_flag_selects_backend(tmp_path):
+    """--platform pins the jax backend before the first dispatch (the
+    container's sitecustomize registers the TPU plugin at interpreter start,
+    so the env var alone cannot choose cpu)."""
+    import jax
+
+    proj, _ = _make_strip_project(tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "stitch", proj, out,
+        "--file-extension", "png", "--output-extension", "png",
+        "--registration", "phase_incre", "--direction", "1",
+        "--direct-incre", "0", "--roi-ratio", "0.4", "--gray",
+        "--fuse-method", "notFuse", "--platform", "cpu",
+    ])
+    assert rc == 0
+    assert jax.default_backend() == "cpu"
+    assert os.path.exists(os.path.join(out, "stitching_result_1.png"))
