@@ -202,6 +202,7 @@ def _detect_describe_image_pallas(img: jnp.ndarray, max_kp: int,
     x = img.astype(jnp.float32)
     spacing = 2.0 ** (1.0 / max(params.n_octave_layers, 1))
     cand = []
+    octave_imgs = []
     xo = x
     for o in range(params.n_octaves):
         if o > 0:
@@ -226,23 +227,26 @@ def _detect_describe_image_pallas(img: jnp.ndarray, max_kp: int,
             dr = dc = jnp.zeros_like(flat_s)
         ro = r.astype(jnp.float32) + dr
         co = c.astype(jnp.float32) + dc
-        d = describe.describe_batch(xo[None], ro[None], co[None], sparams)[0]
         f = float(1 << o)
         rows = ro * f + (f - 1) / 2
         cols = co * f + (f - 1) / 2
-        cand.append((rows, cols, flat_s, d))
-    rows = jnp.concatenate([t[0] for t in cand])
-    cols = jnp.concatenate([t[1] for t in cand])
-    scores = jnp.concatenate([t[2] for t in cand])
-    descs = jnp.concatenate([t[3] for t in cand])
+        cand.append((rows, cols, flat_s, ro, co,
+                     jnp.full(ro.shape, o, jnp.int32)))
+        octave_imgs.append(xo)
+    # select-then-describe: global top-K across octaves first, then ONE
+    # pyramid-atlas describe over the survivors (describe is gather-bound;
+    # the per-octave budgets sum to ~2x the pool capacity).
+    parts = [jnp.concatenate([t[i] for t in cand]) for i in range(6)]
+    rows, cols, scores, r_loc, c_loc, oct_ids = parts
     if rows.shape[0] < max_kp:
         pad = max_kp - rows.shape[0]
-        rows = jnp.pad(rows, (0, pad))
-        cols = jnp.pad(cols, (0, pad))
-        scores = jnp.pad(scores, (0, pad))
-        descs = jnp.pad(descs, ((0, pad), (0, 0)))
+        rows, cols, scores, r_loc, c_loc = (
+            jnp.pad(a, (0, pad)) for a in (rows, cols, scores, r_loc, c_loc))
+        oct_ids = jnp.pad(oct_ids, (0, pad))
     top_s, top_i = jax.lax.top_k(scores, max_kp)
-    return rows[top_i], cols[top_i], top_s, jnp.take(descs, top_i, axis=0)
+    descs = describe.describe_from_pyramid(
+        octave_imgs, r_loc[top_i], c_loc[top_i], oct_ids[top_i], sparams)
+    return rows[top_i], cols[top_i], top_s, descs
 
 
 @functools.partial(jax.jit, static_argnames=(

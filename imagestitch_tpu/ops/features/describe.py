@@ -285,6 +285,51 @@ def _orb_bits(image: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# Pyramid-atlas describe (select-then-describe)
+# --------------------------------------------------------------------------
+
+#: guard rows between atlas bands — covers the largest descriptor window
+#: margin (oriented gather patch: 29 px -> margin 14).
+ATLAS_GUARD = 16
+
+
+def describe_from_pyramid(octave_images, r_loc: jnp.ndarray,
+                          c_loc: jnp.ndarray, octave_ids: jnp.ndarray,
+                          params: DescribeParams) -> jnp.ndarray:
+    """Describe keypoints spread across octave images with ONE batched call.
+
+    Stacks the octave images into a vertical atlas (each band zero-padded to
+    the full width and wrapped in ``ATLAS_GUARD`` zero rows), remaps each
+    keypoint's octave-local row into the atlas, and runs ``describe_batch``
+    once over all K selected keypoints.  This makes select-then-describe
+    possible: the caller picks the global top-K across octaves FIRST and
+    pays descriptor gather/math only for survivors (~45% less describe work
+    than describe-then-select at the default octave budgets).
+
+    Window contents are identical to per-octave describe for every keypoint
+    whose window lies inside its octave image; a keypoint within a window
+    margin of the octave edge reads guard zeros where the per-octave CLIP
+    gather used to read an edge-shifted window (~2% of keypoints at the
+    default borders; both are boundary heuristics).
+    """
+    w0 = octave_images[0].shape[1]
+    bands = []
+    offsets = []
+    off = 0
+    for im in octave_images:
+        h_o, w_o = im.shape
+        bands.append(jnp.pad(im.astype(jnp.float32),
+                             ((ATLAS_GUARD, ATLAS_GUARD), (0, w0 - w_o))))
+        offsets.append(off + ATLAS_GUARD)
+        off += h_o + 2 * ATLAS_GUARD
+    atlas = jnp.concatenate(bands, axis=0)
+    band_off = jnp.take(jnp.asarray(offsets, jnp.float32),
+                        octave_ids.astype(jnp.int32))
+    r_atlas = r_loc + band_off
+    return describe_batch(atlas[None], r_atlas[None], c_loc[None], params)[0]
+
+
+# --------------------------------------------------------------------------
 # Entry point
 # --------------------------------------------------------------------------
 

@@ -471,6 +471,7 @@ def detect_describe_image(img: jnp.ndarray, max_kp: int,
             cand.append(((r + 0.5) * s - 0.5, (c + 0.5) * s - 0.5, sc, d))
     else:
         xo = x
+        octave_imgs = []
         for o in range(params.n_octaves):
             if o > 0:
                 # the octave image must still fit a descriptor window
@@ -487,10 +488,26 @@ def detect_describe_image(img: jnp.ndarray, max_kp: int,
             r, c, s = select_candidates(raw, score, bud,
                                         (bo, ho - bo, bo, wo - bo),
                                         params.subpixel)
-            d = describe_mod.describe_batch(xo[None], r[None], c[None],
-                                            sparams)[0]
             f = float(1 << o)
-            cand.append((r * f + (f - 1) / 2, c * f + (f - 1) / 2, s, d))
+            cand.append((r * f + (f - 1) / 2, c * f + (f - 1) / 2, s,
+                         r, c, jnp.full(r.shape, o, jnp.int32)))
+            octave_imgs.append(xo)
+        # select-then-describe: global top-K first, one pyramid-atlas
+        # describe over the survivors (the octave budgets sum to ~2x
+        # max_kp; descriptor gathers are the pool's dominant cost)
+        parts = [jnp.concatenate([t[i] for t in cand]) for i in range(6)]
+        rows, cols, scores, r_loc, c_loc, oct_ids = parts
+        if rows.shape[0] < max_kp:
+            pad = max_kp - rows.shape[0]
+            rows, cols, scores, r_loc, c_loc = (
+                jnp.pad(a, (0, pad))
+                for a in (rows, cols, scores, r_loc, c_loc))
+            oct_ids = jnp.pad(oct_ids, (0, pad))
+        top_s, top_i = jax.lax.top_k(scores, max_kp)
+        descs = describe_mod.describe_from_pyramid(
+            octave_imgs, r_loc[top_i], c_loc[top_i], oct_ids[top_i],
+            sparams)
+        return rows[top_i], cols[top_i], top_s, descs
     rows = jnp.concatenate([t[0] for t in cand])
     cols = jnp.concatenate([t[1] for t in cand])
     scores = jnp.concatenate([t[2] for t in cand])
