@@ -8,13 +8,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from imagestitch_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "baselines")
+BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "baselines")
 
 t0 = time.time()
 from imagestitch_tpu.eval import accuracy
