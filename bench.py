@@ -164,7 +164,6 @@ def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
     octaves reads+writes, top-k re-reads the score map, and each described
     keypoint gathers a (S+2)^2 float patch (upright path).
     """
-    from imagestitch_tpu.ops.features import detect
     total = 0.0
     ho, wo = h, w
     max_kp = cfg.features.pool_keypoints
@@ -176,8 +175,10 @@ def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
             ho, wo = ho // 2, wo // 2
         px = float(ho) * wo
         total += 4.0 * px * (1 + 2 + 1)     # DoH read, score+raw write, topk read
-        bud = detect.octave_budget(max_kp, o, cfg.features.octave_topk_decay)
-        total += bud * (20 * 20 + 64) * 4.0  # descriptor patch gather + write
+        total += 4.0 * px * 2.0             # atlas band write + describe read
+    # select-then-describe: only the max_kp global top-K survivors are
+    # described (pyramid atlas), not the per-octave candidate budgets
+    total += max_kp * (20 * 20 + 64) * 4.0
     return total * n
 
 
