@@ -131,11 +131,15 @@ def main():
                    help="force the virtual CPU mesh (needs "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N; "
                         "must run before any backend initializes)")
+    p.add_argument("--devices", type=int, nargs="*",
+                   help="explicit mesh sizes (e.g. --devices 1 for a "
+                        "core-pinned thread-normalized baseline run under "
+                        "taskset)")
     p.add_argument("--out")
     args = p.parse_args()
     if args.cpu_mesh:
         jax.config.update("jax_platforms", "cpu")
-    rep = run(mode=args.mode)
+    rep = run(mode=args.mode, device_counts=args.devices)
     txt = json.dumps(dataclasses.asdict(rep))
     if args.out:
         with open(args.out, "w") as f:
