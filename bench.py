@@ -209,15 +209,31 @@ def main():
     backend_init_s = time.time() - t0
 
     files = _dendritic_files()
+    n = len(files)
+    cfg = StitchConfig(registration="feature_incre", direction=1,
+                       direct_incre=1, roi_ratio=0.2, color_mode=False,
+                       fuse_method="fadeInAndFadeOut")
+
+    # ---- cold first stitch = time-to-first-result, on the PRODUCTION
+    # ingest (io/prefetch.py: worker decode of chunk k+1 ∥ transfer ∥ pool
+    # compute of chunk k — the same path the --mesh driver uses), so the
+    # cold accounting overlaps decode/H2D with the first compiles.
+    recs0, _gray0 = prefetch.register_sequence_pipelined(files, cfg)
+    outs0 = []
+    for s, e in _segments(recs0, n):
+        if e - s < 2:
+            continue
+        offs = [recs0[k].offset for k in range(s, e - 1)]
+        outs0.append(compose(_gray0[s:e], offs, cfg, return_device=True))
+    _fence(outs0)
+    t_first_result = time.time() - _T_PROC0
+    del outs0, _gray0
+
     t0 = time.time()
     batch = dataset.load_batch(files, color_mode=False)
     t_decode = time.time() - t0
     gray_host = batch.gray
-    n = gray_host.shape[0]
     h, w = gray_host.shape[1:3]
-    cfg = StitchConfig(registration="feature_incre", direction=1,
-                       direct_incre=1, roi_ratio=0.2, color_mode=False,
-                       fuse_method="fadeInAndFadeOut")
 
     # ship the dataset to HBM once (the reference re-decodes per pass).
     # Chunked puts: the emulation tunnel moves one monolithic 445 MB array
@@ -246,9 +262,9 @@ def main():
                 np.asarray(o)
         return time.time() - t0
 
-    # cold first stitch: compiles + first execution (time-to-first-result)
+    # warm-up the device-resident flagship programs (the cold run above
+    # already compiled the shared pool/replay/compose programs)
     stitch_all(read_back=False)
-    t_first_result = time.time() - _T_PROC0
 
     times = [stitch_all(read_back=False) for _ in range(3)]
     fps = n / min(times)
