@@ -138,6 +138,33 @@ def overlap_ncc(a: np.ndarray, b: np.ndarray,
     return float((pa * pb).sum() / denom)
 
 
+def ncc_argmax_sweep(a: np.ndarray, b: np.ndarray,
+                     candidates: List[Tuple[int, int]], radius: int = 4
+                     ) -> Tuple[Optional[Tuple[int, int]], Optional[float]]:
+    """Exhaustive integer-NCC adjudication (VERDICT r3 item 3).
+
+    Evaluates overlap NCC at EVERY integer offset within ``radius`` px
+    (Chebyshev) of each candidate and returns (argmax_offset, argmax_ncc) —
+    an estimator-free measurement of which translation best explains the
+    pixels, replacing the ours-vs-oracle argument with the actual NCC
+    landscape.  Reference decision rule being adjudicated:
+    ImageUtility.py:139-178 (mode vote over match displacements).
+    """
+    seen = {}
+    for cr, cc in candidates:
+        for dr in range(-radius, radius + 1):
+            for dc in range(-radius, radius + 1):
+                off = (int(cr) + dr, int(cc) + dc)
+                if off in seen:
+                    continue
+                seen[off] = overlap_ncc(a, b, off)
+    live = {k: v for k, v in seen.items() if v is not None}
+    if not live:
+        return None, None
+    best = max(live.items(), key=lambda kv: kv[1])
+    return best[0], float(best[1])
+
+
 @dataclasses.dataclass
 class DatasetAccuracy:
     name: str
@@ -148,6 +175,10 @@ class DatasetAccuracy:
     within_1px: Optional[int]
     compared_pairs: int
     offsets: List[Tuple[int, int]]
+    #: norm used by mean/max_abs_err AND within_1px: Chebyshev (max of the
+    #: per-axis absolute errors), stated here so the JSON is unambiguous
+    #: (the round-3 tables mixed L1 means with a Chebyshev within-1px).
+    error_norm: str = "chebyshev_px"
     # with the per-pair phase fallback the Stitcher driver applies
     # (registration="hybrid" semantics; see core/registration.py)
     num_ok_fallback: Optional[int] = None
@@ -166,10 +197,17 @@ class DatasetAccuracy:
     mean_overlap_ncc: Optional[float] = None
     mean_overlap_ncc_golden: Optional[float] = None
     ncc_wins: Optional[int] = None
-    # per-pair evidence table: {pair, ours, golden, ncc_ours, ncc_golden} —
+    # per-pair evidence table: {pair, ours, golden, ncc_ours, ncc_golden,
+    # and for DISPUTED pairs ncc_argmax/ncc_argmax_val/ours_is_argmax} —
     # the pair-by-pair NCC analysis backing the "our offsets explain the
     # pixels at least as well as the oracle" claim on oracle-scored sets
     pair_detail: Optional[List[dict]] = None
+    # exhaustive-NCC adjudication over disputed pairs (ours != golden):
+    # of those, how many have OUR offset == the NCC argmax over the +-4 px
+    # neighborhood of both candidates vs the golden (VERDICT r3 item 3)
+    disputed_pairs: Optional[int] = None
+    disputed_ours_argmax: Optional[int] = None
+    disputed_golden_argmax: Optional[int] = None
 
 
 def _score(recs, goldens, shape):
@@ -181,8 +219,9 @@ def _score(recs, goldens, shape):
         if abs(g[0]) >= shape[0] or abs(g[1]) >= shape[1]:
             continue
         compared += 1
+        # ONE norm everywhere (Chebyshev): see DatasetAccuracy.error_norm
         e = max(abs(r.offset[0] - g[0]), abs(r.offset[1] - g[1]))
-        errs.append(abs(r.offset[0] - g[0]) + abs(r.offset[1] - g[1]))
+        errs.append(e)
         if e <= 1:
             within1 += 1
     return errs, within1, compared
@@ -234,10 +273,20 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
         ncc_ours.append(no)
         ncc_gold.append(ng)
         wins += no >= ng - 1e-4
-        detail.append({"pair": k, "ours": list(r.offset),
-                       "golden": list(gld),
-                       "ncc_ours": round(no, 6), "ncc_golden": round(ng, 6)})
+        row = {"pair": k, "ours": list(r.offset), "golden": list(gld),
+               "ncc_ours": round(no, 6), "ncc_golden": round(ng, 6)}
+        if tuple(r.offset) != tuple(gld):
+            # disputed: measure the best integer offset outright
+            amax, aval = ncc_argmax_sweep(batch.gray[k], batch.gray[k + 1],
+                                          [tuple(r.offset), tuple(gld)])
+            if amax is not None:
+                row["ncc_argmax"] = list(amax)
+                row["ncc_argmax_val"] = round(aval, 6)
+                row["ours_is_argmax"] = amax == tuple(r.offset)
+                row["golden_is_argmax"] = amax == tuple(gld)
+        detail.append(row)
 
+    n_disp = sum("ncc_argmax" in d for d in detail) or None
     return DatasetAccuracy(
         name=name, num_pairs=len(recs), num_ok=sum(r.ok for r in recs),
         mean_abs_err_px=float(np.mean(errs)) if errs else None,
@@ -250,7 +299,12 @@ def evaluate_dataset(demo_root: str, name: str, cfg: StitchConfig,
         mean_overlap_ncc=float(np.mean(ncc_ours)) if ncc_ours else None,
         mean_overlap_ncc_golden=float(np.mean(ncc_gold)) if ncc_gold else None,
         ncc_wins=wins if ncc_ours else None,
-        pair_detail=detail or None)
+        pair_detail=detail or None,
+        disputed_pairs=n_disp,
+        disputed_ours_argmax=(sum(d.get("ours_is_argmax", False)
+                                  for d in detail) if n_disp else None),
+        disputed_golden_argmax=(sum(d.get("golden_is_argmax", False)
+                                    for d in detail) if n_disp else None))
 
 
 def run(demo_root: str = "/root/reference/demoImages",
