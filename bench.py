@@ -158,15 +158,17 @@ def _fence(x):
 def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
     """Modeled HBM bytes of the pooled detect/describe stage.
 
-    Counts the dominant terms only (conservative): per octave, the Pallas
-    DoH kernel reads the octave image once and writes the score + raw maps
-    (ops/pallas/doh.py read-once/write-once design), the 2x2 pool between
-    octaves reads+writes, top-k re-reads the score map, and each described
-    keypoint gathers a (S+2)^2 float patch (upright path).
+    fused_select path (round 4, the default): per octave the fused DoH
+    kernel reads the octave image ONCE and writes only the per-row
+    candidate tuples (selection, NMS, and subpixel never touch HBM); the
+    atlas is written once and the describe kernel streams it back once,
+    emitting (K*, D) descriptors.  Legacy path additionally writes + re-
+    reads the score/raw maps and gathers per-keypoint patches from HBM.
     """
     total = 0.0
     ho, wo = h, w
-    max_kp = cfg.features.pool_keypoints
+    k_star = 0.0
+    row_cands = (4, 2, 2, 4)
     for o in range(cfg.features.n_octaves):
         if o > 0:
             if min(ho, wo) < 256:
@@ -174,11 +176,19 @@ def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
             total += 4.0 * ho * wo * 1.25   # pool2 read + smaller write
             ho, wo = ho // 2, wo // 2
         px = float(ho) * wo
-        total += 4.0 * px * (1 + 2 + 1)     # DoH read, score+raw write, topk read
+        if cfg.features.fused_select:
+            total += 4.0 * px               # fused DoH+select: read once
+            total += 4.0 * ho * row_cands[min(o, 3)] * 4   # candidate tuples
+            k_star += ho * row_cands[min(o, 3)]
+        else:
+            total += 4.0 * px * (1 + 2 + 1)  # DoH read, score+raw, topk read
         total += 4.0 * px * 2.0             # atlas band write + describe read
-    # select-then-describe: only the max_kp global top-K survivors are
-    # described (pyramid atlas), not the per-octave candidate budgets
-    total += max_kp * (20 * 20 + 64) * 4.0
+    if cfg.features.fused_select:
+        total += k_star * 128 * 4.0         # descriptor writes
+    else:
+        # select-then-describe: the max_kp global top-K survivors gather
+        # (S+2)^2 float patches from the atlas
+        total += cfg.features.pool_keypoints * (20 * 20 + 64) * 4.0
     return total * n
 
 
@@ -246,6 +256,16 @@ def main():
     _fence(gray)
     t_h2d = time.time() - t0
 
+    def _read_back(o) -> np.ndarray:
+        """Chunked device->host readback: the emulation tunnel moves ~32 MB
+        slices several times faster than one monolithic 390 MB transfer
+        (same asymmetry as H2D, measured r3); on real PCIe hosts chunking
+        is a wash.  Rows per chunk sized to ~32 MB."""
+        row_bytes = int(np.prod(o.shape[1:])) * o.dtype.itemsize
+        rows = max(1, (32 << 20) // max(row_bytes, 1))
+        return np.concatenate([np.asarray(o[s:s + rows])
+                               for s in range(0, o.shape[0], rows)])
+
     def stitch_all(read_back: bool) -> float:
         t0 = time.time()
         recs = freg.register_sequence_features_incre(gray, cfg)
@@ -259,7 +279,7 @@ def main():
         _fence(outs)
         if read_back:
             for o in outs:
-                np.asarray(o)
+                _read_back(o)
         return time.time() - t0
 
     # warm-up the device-resident flagship programs (the cold run above
@@ -301,7 +321,7 @@ def main():
         t_compose = min(t_compose, time.time() - t0)
         t0 = time.time()
         for o in outs:
-            np.asarray(o)
+            _read_back(o)
         t_readback = min(t_readback, time.time() - t0)
 
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
@@ -346,6 +366,12 @@ def main():
         "fps_readback_included": round(fps_rb, 3),
         "fps_decode_included": round(fps_dec, 3),
         "time_to_first_result_s": round(t_first_result, 1),
+        # methodology (r3 change, noted per advisor): the cold path is the
+        # PRODUCTION pipelined ingest (decode ∥ H2D ∥ pool compute), which
+        # also absorbs the shared-program compiles — not the r1/r2 separate
+        # monolithic cold stitch; round-over-round cold numbers compare
+        # only within this definition.
+        "cold_path": "pipelined_ingest_first_stitch",
         "backend_init_s": round(backend_init_s, 1),
         "cold_start_minus_backend_init_s": round(
             t_first_result - backend_init_s, 1),

