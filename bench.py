@@ -192,6 +192,33 @@ def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
     return total * n
 
 
+def _pool_flops_model(n: int, h: int, w: int, cfg) -> float:
+    """Modeled VPU FLOPs of the fused DoH+select stage.
+
+    The round-4 pool eliminated its HBM traffic (selection/subpixel never
+    leave VMEM), so the stage is bound by the separable Gaussian-derivative
+    convolutions: per scale, 3 response convs x 2 separable passes x
+    (2*radius+1) taps x 2 flops/MAC per pixel, plus ~20 flops of
+    det/NMS/select overhead per pixel.
+    """
+    import math
+    spacing = 2.0 ** (1.0 / max(cfg.features.n_octave_layers, 1))
+    per_px = 20.0
+    for s in range(cfg.features.n_octave_layers):
+        sigma = 1.2 * spacing ** s
+        radius = max(2, int(math.ceil(3.0 * sigma)))
+        per_px += 3 * 2 * (2 * radius + 1) * 2
+    total = 0.0
+    ho, wo = h, w
+    for o in range(cfg.features.n_octaves):
+        if o > 0:
+            if min(ho, wo) < 256:
+                break
+            ho, wo = ho // 2, wo // 2
+        total += per_px * ho * wo
+    return total * n
+
+
 def _match_flops(stats) -> float:
     """Modeled MXU FLOPs of the replay's match matmuls: one (K,D)x(D,K)
     contraction per (pair, direction, scale) attempt."""
@@ -391,6 +418,13 @@ def main():
             "pool_modeled_gb": round(pool_bytes / 1e9, 2),
             "pool_gbps": round(pool_bytes / t_pool / 1e9, 1),
             "pool_hbm_util": round(pool_bytes / t_pool / PEAK_HBM_BPS, 3),
+            # the fused pool's bottleneck moved from HBM gathers to the DoH
+            # conv FLOPs (selection/subpixel never leave VMEM) — so the
+            # meaningful roofline is now VPU compute, not bandwidth
+            "pool_conv_modeled_gflop": round(
+                _pool_flops_model(n, h, w, cfg_pool) / 1e9, 1),
+            "pool_conv_gflops": round(
+                _pool_flops_model(n, h, w, cfg_pool) / t_pool / 1e9, 1),
             "match_modeled_gflop": round(match_fl / 1e9, 1),
             "match_tflops": round(match_fl / t_replay / 1e12, 2),
             "match_mxu_util": round(match_fl / t_replay / PEAK_MXU_FLOPS, 4),

@@ -728,7 +728,11 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
     pool = _pool_features_jit(im, max_kp, dparams, sparams_fast,
                               use_pallas_doh=use_doh)
     out = _match_vote_adjacent(pool, np.arange(n - 1), cfg, metric)
-    failed = [k for k, r in enumerate(out) if not r.ok]
+    # same no-consensus skip as the incremental fallback: a pair whose best
+    # upright vote is <= 1 (the empty-displacement floor) has nothing for
+    # oriented descriptors to rescue
+    failed = [k for k, r in enumerate(out)
+              if not r.ok and r.confidence > 1.0]
     if fast and failed:
         frames = sorted({f for k in failed for f in (k, k + 1)})
         fmap = {f: i for i, f in enumerate(frames)}

@@ -41,10 +41,16 @@ from .mesh import pad_to_multiple
 
 @functools.lru_cache(maxsize=32)
 def _pool_fn(mesh: Mesh, max_pool: int, dparams, sparams,
-             use_pallas_doh: bool):
+             use_pallas_doh: bool, fused_select: bool = False):
     axis = mesh.axis_names[0]
 
     def per_image(img):
+        # selection policy mirrors the single-chip _pool_features_jit
+        # exactly — a mesh run must produce the same pool as one chip
+        if (use_pallas_doh and fused_select
+                and freg._fused_select_ok(dparams, sparams)):
+            return freg._detect_describe_image_pallas_v2(img, dparams,
+                                                         sparams)
         if (use_pallas_doh and dparams.family == "hessian"
                 and not dparams.box_filter):
             return freg._detect_describe_image_pallas(img, max_pool, dparams,
@@ -64,7 +70,8 @@ def pool_features_sharded(images_dev, mesh: Mesh, cfg: StitchConfig,
     use_doh = cfg.use_pallas and jax.default_backend() == "tpu"
     return _pool_fn(mesh, freg._capacity(cfg, cfg.features.pool_keypoints),
                     freg._detect_params(cfg),
-                    sparams or freg._describe_params(cfg), use_doh)(images_dev)
+                    sparams or freg._describe_params(cfg), use_doh,
+                    cfg.features.fused_select)(images_dev)
 
 
 def shard_frames(images: np.ndarray, mesh: Mesh):
