@@ -64,7 +64,8 @@ def _serpentine(rng, n_rows=4, n_cols=6, h=256, w=320):
 
 def run(images: Optional[np.ndarray] = None, offsets=None,
         n_devices: int = 8, fuse_method: str = "fadeInAndFadeOut",
-        repeats: int = 3) -> ComposeBench:
+        repeats: int = 3, t1_device_s: Optional[float] = None,
+        t1_source: str = "") -> ComposeBench:
     if images is None:
         rng = np.random.default_rng(0)
         images, offsets = _serpentine(rng)
@@ -99,8 +100,9 @@ def run(images: Optional[np.ndarray] = None, offsets=None,
     from . import ici_model
     payload = int(LAST_COMPOSE_STATS.get("psum_payload_bytes", 0))
     n_psum = int(LAST_COMPOSE_STATS.get("fuse_psums", 0))
+    t1 = t1_device_s or bs
     pred = ici_model.efficiency_table(
-        bs, [2, 4, 8, 16],
+        t1, [2, 4, 8, 16],
         bytes_fn=lambda d: ici_model.ring_all_reduce_bytes(payload, d),
         n_collectives_fn=lambda d: n_psum)
     return ComposeBench(
@@ -116,9 +118,9 @@ def run(images: Optional[np.ndarray] = None, offsets=None,
         modeled_ici_bytes_per_device=int(
             LAST_COMPOSE_STATS.get("modeled_ici_bytes_per_device", 0)),
         predicted_efficiency_v5e=pred,
-        t1_device_s=round(bs, 4),
-        t1_source=f"single-device compose on this run's "
-                  f"{jax.default_backend()} backend")
+        t1_device_s=round(t1, 4),
+        t1_source=t1_source or f"single-device compose on this run's "
+                               f"{jax.default_backend()} backend")
 
 
 def _time(f) -> float:

@@ -132,13 +132,17 @@ def box_filter_bench(gray, batch, cfg):
 def stretch_tpu():
     from imagestitch_tpu.eval import stretch
 
-    t0 = time.time()
-    rep = stretch.run(grid=32, n_devices=1)
-    total = time.time() - t0
+    runs = []
+    for _ in range(2):       # first pass pays compiles; second is warm
+        t0 = time.time()
+        rep = stretch.run(grid=32, n_devices=1)
+        runs.append((time.time() - t0, rep))
+    total, rep = runs[-1]
     d = dataclasses.asdict(rep)
     d["total_s"] = round(total, 2)
     d["tiles_per_s"] = round(rep.n_tiles / total, 2)
-    d["what"] = ("1024-tile stretch on the REAL single TPU chip "
+    d["cold_total_s"] = round(runs[0][0], 2)
+    d["what"] = ("1024-tile stretch on the REAL single TPU chip, warm pass "
                  "(VERDICT r3 item 6; register -> spatial-hash propose -> "
                  "bucketed windowed verify -> CG solve -> compose)")
     with open(os.path.join(BASE, "stretch_1000_tpu.json"), "w") as f:
@@ -215,6 +219,20 @@ def scaling_t1():
                                                      direction=1, ratio=0.25)
         best = min(best, time.time() - t0)
     out["feature_t1_s"] = round(best, 4)
+    # compose-bench workload (serpentine 24-tile synthetic), single device
+    from imagestitch_tpu.config import StitchConfig as _SC
+    from imagestitch_tpu.core.compose import compose as _compose
+    from imagestitch_tpu.eval.compose_bench import _serpentine
+    tiles, offs = _serpentine(np.random.default_rng(0))
+    ccfg = _SC(color_mode=False, fuse_method="fadeInAndFadeOut",
+               registration="phase_incre")
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
+        o = _compose(tiles, offs, ccfg, return_device=True)
+        _fence(o)
+        best = min(best, time.time() - t0)
+    out["compose_t1_s"] = round(best, 4)
     with open(os.path.join(BASE, "scaling_t1_tpu.json"), "w") as f:
         json.dump(out, f, indent=2)
     print("scaling_t1:", json.dumps(out), flush=True)
