@@ -315,8 +315,25 @@ def main():
 
     times = [stitch_all(read_back=False) for _ in range(3)]
     fps = n / min(times)
-    t_rb = stitch_all(read_back=True)
-    fps_rb = n / t_rb
+
+    # decode-included end-to-end, measured BEFORE any panorama readback:
+    # the tunnel keeps draining readbacks after np.asarray returns, and a
+    # decode run issued behind that backlog times the backlog, not the
+    # pipeline (r4: 38.7 s polluted vs 11.1 s clean)
+    def stitch_from_files() -> float:
+        t0 = time.time()
+        recs, gray_dev = prefetch.register_sequence_pipelined(files, cfg)
+        outs = []
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            outs.append(compose(gray_dev[s:e], offs, cfg, return_device=True))
+        _fence(outs)
+        return time.time() - t0
+
+    t_dec = min(stitch_from_files() for _ in range(2))
+    fps_dec = n / t_dec
 
     # ---- warm per-phase decomposition (device-fenced; min of 2 passes:
     # a single fenced pass can catch a tunnel hiccup worth seconds) ----
@@ -354,21 +371,8 @@ def main():
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
     match_fl = _match_flops(replay_stats)
 
-    # decode-included end-to-end: pipelined decode ∥ transfer ∥ pool compute
-    def stitch_from_files() -> float:
-        t0 = time.time()
-        recs, gray_dev = prefetch.register_sequence_pipelined(files, cfg)
-        outs = []
-        for s, e in _segments(recs, n):
-            if e - s < 2:
-                continue
-            offs = [recs[k].offset for k in range(s, e - 1)]
-            outs.append(compose(gray_dev[s:e], offs, cfg, return_device=True))
-        _fence(outs)
-        return time.time() - t0
-
-    t_dec = min(stitch_from_files() for _ in range(2))
-    fps_dec = n / t_dec
+    t_rb = stitch_all(read_back=True)
+    fps_rb = n / t_rb
 
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     key = "dendritic_feature_fade_s_full"
