@@ -421,4 +421,5 @@ def _run_steps(steps, images_dev, canvas, pairwise, cfg: StitchConfig,
     out = _finalize(canvas)
     if return_device:
         return out  # leave in HBM (host readback is the caller's choice)
-    return np.asarray(out)
+    from ..utils.transfer import read_back
+    return read_back(out)   # concurrent chunked D2H (utils/transfer.py)
