@@ -95,3 +95,16 @@ def test_phase_timer_and_fps():
     assert "work" in t.spans and "fence" in t.spans
     fps = frames_per_second(10, lambda: jnp.ones((32, 32)) * 2, repeats=2)
     assert fps > 0
+
+
+def test_read_back_equals_asarray():
+    """utils/transfer.read_back: concurrent chunked D2H == np.asarray."""
+    import jax.numpy as jnp
+
+    from imagestitch_tpu.utils import transfer
+
+    rng = np.random.default_rng(0)
+    for shape in ((700, 300), (5, 4), (1,), (64, 33, 3)):
+        x = jnp.asarray(rng.integers(0, 255, shape, np.uint8))
+        got = transfer.read_back(x, chunk_bytes=64 << 10, threads=2)
+        np.testing.assert_array_equal(got, np.asarray(x))
