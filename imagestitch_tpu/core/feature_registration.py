@@ -469,15 +469,18 @@ def _pool_attempt_multi_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 class _PooledCache:
     """AttemptCache-compatible store over the keypoint pool.
 
-    Dispatch policy: a big sweep (every unresolved pair) computes the
-    requested direction AND its 180-degree opposite at the requested scale
-    in one dispatch — a serpentine grid's in-row pairs alternate between
-    exactly those two (1 <-> 3), so this resolves every in-row pair while
-    halving the big sweep's strip-select/match/vote work (r4: each config
-    costs ~156 ms at 128 pairs, ~60% of it the strip top_k).  The few
-    transition/deep-scale pairs fall to the small-miss branch, which
-    speculates every remaining (direction, scale) configuration in one
-    dispatch — total dispatches stay at 2 on the flagship.
+    Dispatch policy: a big sweep (every unresolved pair) computes ALL FOUR
+    directions of the requested scale in the one dispatch — through the
+    tunnel a dispatch costs ~0.2 s of latency while the extra three
+    directions cost only masked top-k + matmul time, and a serpentine
+    grid's alternating rows need directions 1/2/3 anyway.  Small misses
+    (the few pairs that survive to a deeper scale) speculate every
+    remaining (direction, scale) configuration at once.  (r4 note: leaner
+    sweeps — {dir, opposite} and {dir, opposite, rotation} — were measured
+    on the flagship and bought nothing: the first pair of the dendritic
+    sequence is the permanently-unstitchable one, so every direction gets
+    demanded immediately and the narrow sweeps just add a dispatch; see
+    scripts/profile_replay.py and the r4 pool_profile runs.)
     """
 
     _SMALL = 16   # <= this many pairs: speculate all 4 directions
@@ -502,10 +505,9 @@ class _PooledCache:
             h, w = self._hw
             cfg = self._cfg
             if len(idx) > self._SMALL:
-                opposite = {1: 3, 2: 4, 3: 1, 4: 2}[direction]
                 configs = [(direction, scale)] + [
-                    (d, scale) for d in (opposite,)
-                    if (d, scale) not in self._store]
+                    (d, scale) for d in (1, 2, 3, 4)
+                    if d != direction and (d, scale) not in self._store]
             else:
                 # stragglers: every (direction, remaining scale) at once —
                 # the replay will rotate through most of them anyway

@@ -151,14 +151,12 @@ class ShardedPooledCache:
             cfg = self._cfg
             h, w = self._hw
             if len(list(prefetch)) > self._SMALL:
-                # requested direction + its 180-degree opposite (mirrors the
-                # single-device _PooledCache r4 policy: serpentine in-row
-                # pairs alternate exactly between those; transitions resolve
-                # in the speculate-everything small branch)
-                opposite = {1: 3, 2: 4, 3: 1, 4: 2}[direction]
+                # all four directions of this scale in the one dispatch
+                # (dispatch latency >> the masked top-k + matmul cost; see
+                # the single-device _PooledCache policy note)
                 configs = [(direction, scale)] + [
-                    (d, scale) for d in (opposite,)
-                    if (d, scale) not in self._store]
+                    (d, scale) for d in (1, 2, 3, 4)
+                    if d != direction and (d, scale) not in self._store]
             else:
                 configs = [(d, s) for s in range(scale, max_roi_scale(ratio))
                            for d in (1, 2, 3, 4)
