@@ -431,17 +431,20 @@ def _pool_attempt_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 
     ra, ca, va, da = side(idx, bounds_a)
     rb, cb, vb, db = side(idx + 1, bounds_b)
-    train_idx, ok = match.match_batch(da, db, va, vb, search_ratio,
-                                      max_distance, metric,
-                                      use_pallas=use_pallas)
-    d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
-        ra, ca, rb, cb, train_idx, ok)
+    # coords variant: matched B coordinates come out of the matcher kernel
+    # itself — per-match rows_b[train_idx] gathers were the vote stage's
+    # dominant cost (r4 measurement, ops/features/match.match_batch_coords)
+    ti, ok, rb_sel, cb_sel = match.match_batch_coords(
+        da, db, va, vb, rb, cb, search_ratio, max_distance, metric,
+        use_pallas=use_pallas)
+    d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
+        ra, ca, rb_sel, cb_sel, ok)
     if vote_method == "ransac":
         dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
         return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
     dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
-    drf, dcf = jax.vmap(vote.displacement_from_matches_f)(
-        ra, ca, rb, cb, train_idx)
+    drf = ra - rb_sel
+    dcf = ca - cb_sel
     sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
     return dr, dc, nv, sr, sc
 

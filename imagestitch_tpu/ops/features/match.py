@@ -84,6 +84,34 @@ def match_nearest_hamming(da: jnp.ndarray, db: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "use_pallas"))
+def match_batch_coords(da: jnp.ndarray, db: jnp.ndarray,
+                       valid_a: jnp.ndarray, valid_b: jnp.ndarray,
+                       rows_b: jnp.ndarray, cols_b: jnp.ndarray,
+                       ratio: float, max_distance: float,
+                       metric: str = "l2", use_pallas: bool = False):
+    """match_batch + matched train keypoint COORDINATES per query.
+
+    Returns (train_idx, ok, rb_sel, cb_sel), each (P, K).  On the Pallas
+    path the coordinates are extracted inside the matcher kernel (masked
+    lane reductions over the VMEM distance tile); per-element
+    ``rows_b[train_idx]`` gathers cost ~140 ns each on the v5e, which made
+    them the vote stage's dominant term (measured r4).
+    """
+    if metric == "l2" and use_pallas and da.shape[1] % 256 == 0:
+        from ..pallas import matcher as pallas_matcher
+
+        return jax.vmap(lambda a, b, va, vb, rb, cb:
+                        pallas_matcher.match_ratio_pallas_coords(
+                            a, b, va, vb, rb, cb, ratio))(
+            da, db, valid_a, valid_b, rows_b, cols_b)
+    ti, ok = match_batch(da, db, valid_a, valid_b, ratio, max_distance,
+                         metric, use_pallas=False)
+    rb_sel = jnp.take_along_axis(rows_b, ti, axis=-1)
+    cb_sel = jnp.take_along_axis(cols_b, ti, axis=-1)
+    return ti, ok, rb_sel, cb_sel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "use_pallas"))
 def match_batch(da: jnp.ndarray, db: jnp.ndarray,
                 valid_a: jnp.ndarray, valid_b: jnp.ndarray,
                 ratio: float, max_distance: float, metric: str = "l2",

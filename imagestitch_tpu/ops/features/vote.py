@@ -104,6 +104,14 @@ def displacement_from_matches_f(rows_a, cols_a, rows_b, cols_b, train_idx):
     return rows_a - rows_b[train_idx], cols_a - cols_b[train_idx]
 
 
+def displacement_from_coords(rows_a, cols_a, rb_sel, cb_sel, valid):
+    """Displacements from PRE-EXTRACTED matched coordinates (the Pallas
+    matcher's coords outputs) — pure arithmetic, no per-match gathers."""
+    d_row = (rows_a - rb_sel).astype(jnp.int32)
+    d_col = (cols_a - cb_sel).astype(jnp.int32)
+    return d_row, d_col, valid
+
+
 @jax.jit
 def mode_vote_batch(d_row: jnp.ndarray, d_col: jnp.ndarray,
                     valid: jnp.ndarray):

@@ -113,18 +113,23 @@ def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
 
         ra, ca, va, da = side(ba)
         rb, cb, vb, db = side(bb)
-        ti, ok = match.match_batch(da[:-1], db[1:], va[:-1], vb[1:],
-                                   search_ratio, max_distance, metric)
-        d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
-            ra[:-1], ca[:-1], rb[1:], cb[1:], ti, ok)
+        # use_pallas stays False here: this jit is AUTO-sharded (not
+        # shard_map), and a Pallas custom call does not SPMD-partition —
+        # the XLA matcher path partitions fine and the coords variant
+        # still avoids the per-match gathers on the replicated fallback
+        ti, ok, rb_sel, cb_sel = match.match_batch_coords(
+            da[:-1], db[1:], va[:-1], vb[1:], rb[1:], cb[1:],
+            search_ratio, max_distance, metric, use_pallas=False)
+        d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
+            ra[:-1], ca[:-1], rb_sel, cb_sel, ok)
         if vote_method == "ransac":
             dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
             out.append((dr, dc, nv, dr.astype(jnp.float32),
                         dc.astype(jnp.float32)))
             continue
         dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
-        drf, dcf = jax.vmap(vote.displacement_from_matches_f)(
-            ra[:-1], ca[:-1], rb[1:], cb[1:], ti)
+        drf = ra[:-1] - rb_sel
+        dcf = ca[:-1] - cb_sel
         sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
         out.append((dr, dc, nv, sr, sc))
     return out

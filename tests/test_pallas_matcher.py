@@ -69,3 +69,36 @@ def test_doh_kernel_matches_xla_detector(rng):
                                    resp[0], 0.0))
     np.testing.assert_array_equal(score_p > 0, score_x > 0)
     np.testing.assert_allclose(score_p, score_x, rtol=1e-4, atol=1e-2)
+
+
+def test_coords_matcher_matches_gather_path(rng):
+    """match_batch_coords (in-kernel matched-coordinate extraction) equals
+    match_batch + rows_b[train_idx] gathers, on both backends' paths."""
+    import jax.numpy as jnp
+    from imagestitch_tpu.ops.features import match
+    from imagestitch_tpu.ops.pallas import matcher as pm
+
+    p, k, d = 3, 256, 64
+    da = jnp.asarray(rng.normal(size=(p, k, d)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(p, k, d)).astype(np.float32))
+    va = jnp.asarray(rng.random((p, k)) > 0.1)
+    vb = jnp.asarray(rng.random((p, k)) > 0.1)
+    rb = jnp.asarray(rng.uniform(0, 500, (p, k)).astype(np.float32))
+    cb = jnp.asarray(rng.uniform(0, 700, (p, k)).astype(np.float32))
+    ti, ok = match.match_batch(da, db, va, vb, 0.9, 1e9, "l2")
+    # XLA fallback coords path
+    ti2, ok2, rbs, cbs = match.match_batch_coords(
+        da, db, va, vb, rb, cb, 0.9, 1e9, "l2", use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ti2))
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok2))
+    exp_rb = np.take_along_axis(np.asarray(rb), np.asarray(ti), axis=-1)
+    np.testing.assert_array_equal(np.asarray(rbs), exp_rb)
+    # Pallas kernel (interpret) coords
+    i0, okp, rbs_p, cbs_p = pm.match_ratio_pallas_coords(
+        da[0], db[0], va[0], vb[0], rb[0], cb[0], 0.9, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(ti)[0])
+    np.testing.assert_array_equal(np.asarray(okp), np.asarray(ok)[0])
+    np.testing.assert_allclose(np.asarray(rbs_p), exp_rb[0], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cbs_p),
+        np.take_along_axis(np.asarray(cb), np.asarray(ti), -1)[0], atol=1e-5)
