@@ -365,6 +365,31 @@ def main():
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
     match_fl = _match_flops(replay_stats)
 
+    # ---- COLOR composition variant: the reference's dendritic driver
+    # composes in color (Main.py isColorMode=True; registration is always
+    # grayscale, Stitcher.py:68-69) — publish that workload too ----
+    cfg_color = cfg.replace(color_mode=True)
+    batch_c = dataset.load_batch(files, color_mode=True)
+    color_dev = jnp.concatenate([jax.device_put(batch_c.color[s:s + 4])
+                                 for s in range(0, n, 4)])
+    _fence(color_dev)
+    del batch_c
+    t_color = float("inf")
+    for _ in range(2):
+        outs_c = []
+        t0 = time.time()
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                outs_c.append(color_dev[s:e][0])
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            outs_c.append(compose(color_dev[s:e], offs, cfg_color,
+                                  return_device=True))
+        _fence(outs_c)
+        t_color = min(t_color, time.time() - t0)
+    del outs_c, color_dev
+    fps_color = n / (t_pool + t_replay + t_fallback + t_color)
+
     t_rb = stitch_all(read_back=True)
     fps_rb = n / t_rb
 
@@ -390,6 +415,9 @@ def main():
         "vs_baseline": round(fps / base_fps, 3),
         "fps_readback_included": round(fps_rb, 3),
         "fps_decode_included": round(fps_dec, 3),
+        # the reference's own dendritic workload composes in COLOR
+        # (register gray + fuse color); device-resident accounting
+        "fps_color_compose": round(fps_color, 3),
         "time_to_first_result_s": round(t_first_result, 1),
         # methodology (r3 change, noted per advisor): the cold path is the
         # PRODUCTION pipelined ingest (decode ∥ H2D ∥ pool compute), which
@@ -408,6 +436,7 @@ def main():
             "register_replay_s": round(t_replay, 3),
             "register_fallback_s": round(t_fallback, 3),
             "compose_s": round(t_compose, 3),
+            "color_compose_s": round(t_color, 3),
             "readback_s": round(t_readback, 3),
             "replay_dispatches": replay_stats.get("dispatches"),
             "replay_attempts_matched": replay_stats.get("attempts_matched"),
