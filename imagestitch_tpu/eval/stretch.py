@@ -97,12 +97,21 @@ def run(grid: int = 32, tile: Tuple[int, int] = (96, 128),
     tiles, truth = make_grid(grid, tile, seed=seed)
     n = tiles.shape[0]
     h, w = tile
+    import jax.numpy as jnp
+    if n_devices == 1:
+        # single upload of the tile batch; registration slices, verify and
+        # compose all reuse the resident array (the r4 real-size stretch
+        # otherwise shipped the 1.28 GB batch three times)
+        tiles_io = jnp.asarray(tiles)
+    else:
+        tiles_io = tiles
 
     # 1. sharded pair registration: whole-tile 2x-padded phase (direction
     # -free, pair-sharded over the mesh; serpentine rows move sideways and
     # row transitions move down — the linear correlation handles both)
     t0 = time.perf_counter()
-    a, b, n_pairs = pipeline.make_pair_tensors(tiles, mesh)
+    a, b, n_pairs = pipeline.make_pair_tensors(
+        tiles_io, mesh if n_devices > 1 else None)
     sx, sy, resp = pipeline.register_pairs_sharded_whole(a, b)
     jax.block_until_ready(resp)
     sx = np.asarray(sx)[:n_pairs]
@@ -122,7 +131,7 @@ def run(grid: int = 32, tile: Tuple[int, int] = (96, 128),
     t0 = time.perf_counter()
     graph = pg.PoseGraph.from_chain([tuple(o) for o in offsets],
                                     np.maximum(resp, 1e-3))
-    ia, ib, meas, wgt = loop_closure.verify_edges(tiles, chain, cands,
+    ia, ib, meas, wgt = loop_closure.verify_edges(tiles_io, chain, cands,
                                                   pad=24,
                                                   response_threshold=0.05)
     if len(ia):
@@ -148,7 +157,7 @@ def run(grid: int = 32, tile: Tuple[int, int] = (96, 128),
         pos = np.round(solved - solved.min(axis=0, keepdims=True)).astype(int)
         offs = [tuple((pos[i] - pos[i - 1]).tolist()) for i in range(1, n)]
         t0 = time.perf_counter()
-        pano = cs.compose_sharded(tiles, offs, cfg, mesh)
+        pano = cs.compose_sharded(tiles_io, offs, cfg, mesh)
         compose_s = time.perf_counter() - t0
         canvas_shape = list(pano.shape)
 

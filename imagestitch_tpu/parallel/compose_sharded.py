@@ -221,8 +221,10 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
 
     canvas = jnp.full((rows_p, cols) + chan, -1, jnp.int16)
     canvas = jax.device_put(canvas, NamedSharding(mesh, P(axis)))
-    images_dev = jax.device_put(np.asarray(images),
-                                NamedSharding(mesh, P()))
+    # device_put accepts device-resident batches (on-device reshard) — a
+    # np.asarray() wrapper here would read a resident batch back to host
+    # and re-upload it
+    images_dev = jax.device_put(images, NamedSharding(mesh, P()))
     pairwise = [(0, 0)] + [tuple(o) for o in offsets]
 
     # identical step classification to core/compose.compose
@@ -282,4 +284,5 @@ def compose_sharded(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
     out = _finalize(canvas)
     if return_device:
         return out, rows
-    return np.asarray(out)[:rows]
+    from ..utils.transfer import read_back
+    return read_back(out)[:rows]

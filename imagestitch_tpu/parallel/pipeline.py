@@ -36,11 +36,16 @@ def make_pair_tensors(images: np.ndarray, mesh: Optional[Mesh] = None
     Returns (a, b, n_pairs_valid).  Padding replicates the last pair; callers
     slice results back to ``n_pairs_valid``.
     """
-    a_np = images[:-1]
-    b_np = images[1:]
-    n_pairs = a_np.shape[0]
+    n_pairs = images.shape[0] - 1
     if mesh is None:
-        return jnp.asarray(a_np), jnp.asarray(b_np), n_pairs
+        # ONE upload, slice on device: a[:-1]/b[1:] as host arrays would
+        # ship ~2x the batch through the host link (the r4 real-size
+        # stretch moved 2.56 GB where 1.28 GB suffices); also accepts an
+        # already-device-resident batch as a no-op
+        dev = jnp.asarray(images)
+        return dev[:-1], dev[1:], n_pairs
+    a_np = np.asarray(images)[:-1]
+    b_np = np.asarray(images)[1:]
     d = mesh.devices.size
     p_pad = pad_to_multiple(max(n_pairs, d), d)
     if p_pad != n_pairs:
@@ -76,12 +81,23 @@ def register_pairs_sharded(a: jnp.ndarray, b: jnp.ndarray, direction: int,
 def _register_pairs_whole_jit(a: jnp.ndarray, b: jnp.ndarray,
                               hp: int, wp: int):
     h, w = a.shape[-2], a.shape[-1]
-    x = a.astype(jnp.float32)
-    y = b.astype(jnp.float32)
-    x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
-    y = y - jnp.mean(y, axis=(1, 2), keepdims=True)
-    f = jax.vmap(lambda u, v: phase_corr._phase_correlate_one(u, v, hp, wp))
-    sx, sy, resp = f(x, y)
+
+    def one(uv):
+        # cast + mean-subtract PER CHUNK: pre-casting the whole batch to
+        # f32 materializes 2 x 5.1 GB at full-resolution tiles
+        u = uv[0].astype(jnp.float32)
+        v = uv[1].astype(jnp.float32)
+        u = u - jnp.mean(u)
+        v = v - jnp.mean(v)
+        return phase_corr._phase_correlate_one(u, v, hp, wp)
+
+    # chunked map: peak HBM stays at a few GB of padded FFT temporaries —
+    # at full-resolution tiles (1936x2584 -> 3888x5184 padded) a plain
+    # vmap over 255 pairs demands ~20 GB (measured OOM on the real-size
+    # stretch), while chunks keep the pair axis parallel across a mesh
+    per_pair = 6 * hp * wp * 8
+    chunk = max(1, min(int(a.shape[0]), (2 << 30) // per_pair))
+    sx, sy, resp = jax.lax.map(one, (a, b), batch_size=chunk)
     return sx, sy, resp * (float(hp) * wp / (h * w))
 
 

@@ -95,7 +95,8 @@ def _verify_windows_jit(images: jnp.ndarray, ia: jnp.ndarray, ib: jnp.ndarray,
 
 def verify_edges(images: np.ndarray, positions: np.ndarray,
                  edges: Sequence[Tuple[int, int]],
-                 pad: int = 64, response_threshold: float = 0.05
+                 pad: int = 64, response_threshold: float = 0.05,
+                 max_window: int = 512
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Measure candidate edges by windowed phase correlation.
 
@@ -103,6 +104,12 @@ def verify_edges(images: np.ndarray, positions: np.ndarray,
     phase response clears ``response_threshold`` (weights = response).
     The chain positions only LOCATE the windows (drift << pad); the
     measured offset is independent of the prior's error.
+
+    ``max_window`` caps each window dimension: measuring a translation
+    needs a well-textured patch plus drift margin, NOT the whole overlap —
+    at full-resolution tiles an uncapped window is a (2000, 2584) FFT per
+    candidate (the r4 real-size stretch spent 155 s verifying 675 edges).
+    Capped windows center on the predicted overlap for texture.
     """
     if not edges:
         z = np.zeros(0)
@@ -114,12 +121,14 @@ def verify_edges(images: np.ndarray, positions: np.ndarray,
     # BUCKETED window sizes (VERDICT r3 weak #6): one global max-size window
     # made every candidate pay the worst case (the 1024-tile stretch spent
     # 3.1 s verifying vs 0.5 s solving).  Per-edge ideal size = predicted
-    # overlap + 2*pad, rounded UP to a 128-px bucket edge (compile-bounded
-    # shape set, same scheme as the composer's rect buckets); one batched
-    # dispatch per bucket.
+    # overlap + 2*pad capped at ``max_window``, rounded UP to a 128-px
+    # bucket edge (compile-bounded shape set, same scheme as the composer's
+    # rect buckets); one batched dispatch per bucket.
     ideal = np.stack([
-        np.clip(np.maximum(h - np.abs(d0[:, 0]) + 2 * pad, 2 * pad), 0, h),
-        np.clip(np.maximum(w - np.abs(d0[:, 1]) + 2 * pad, 2 * pad), 0, w),
+        np.clip(np.maximum(h - np.abs(d0[:, 0]) + 2 * pad, 2 * pad),
+                0, min(h, max_window)),
+        np.clip(np.maximum(w - np.abs(d0[:, 1]) + 2 * pad, 2 * pad),
+                0, min(w, max_window)),
     ], axis=1).astype(np.int64)
     bucket = np.stack([np.minimum(-(-ideal[:, 0] // 128) * 128, h),
                        np.minimum(-(-ideal[:, 1] // 128) * 128, w)], axis=1)
@@ -137,7 +146,13 @@ def verify_edges(images: np.ndarray, positions: np.ndarray,
         sb = np.zeros((len(sel), 2), np.int32)
         for kk, k in enumerate(sel):
             for ax, dim, wl in ((0, h, win_h), (1, w, win_w)):
-                a0 = int(np.clip(max(d0[k, ax], 0) - pad, 0, dim - wl))
+                # center the (possibly capped) window within the predicted
+                # overlap; the measurement sa - sb - (window shift) is exact
+                # for any anchor, centering just maximizes shared texture
+                ov_start = max(int(d0[k, ax]), 0)
+                ov_len = dim - abs(int(d0[k, ax]))
+                a0 = int(np.clip(ov_start + max(ov_len - wl, 0) // 2 - pad,
+                                 0, dim - wl))
                 b0 = int(np.clip(a0 - d0[k, ax], 0, dim - wl))
                 sa[kk, ax] = a0
                 sb[kk, ax] = b0
@@ -147,10 +162,24 @@ def verify_edges(images: np.ndarray, positions: np.ndarray,
         # whole-image phase path, core/registration.py)
         hp = phase_corr.optimal_dft_size(2 * win_h)
         wp = phase_corr.optimal_dft_size(2 * win_w)
-        gx, gy, gr = _verify_windows_jit(
-            images_dev, jnp.asarray(ia_all[sel]), jnp.asarray(ib_all[sel]),
-            jnp.asarray(sa), jnp.asarray(sb), win_h, win_w, hp, wp)
-        gx, gy, gr = np.asarray(gx), np.asarray(gy), np.asarray(gr)
+        # chunk the batch by padded-FFT working set: full-resolution tiles
+        # make per-edge temporaries ~100 MB; vmapping a thousand edges at
+        # once demands tens of GB (measured OOM on the real-size stretch)
+        per_edge = 6 * hp * wp * 8
+        chunk = max(1, (2 << 30) // per_edge)
+        gxl, gyl, grl = [], [], []
+        for cs in range(0, len(sel), chunk):
+            ce = sel[cs:cs + chunk]
+            cx, cy, cr = _verify_windows_jit(
+                images_dev, jnp.asarray(ia_all[ce]), jnp.asarray(ib_all[ce]),
+                jnp.asarray(sa[cs:cs + chunk]), jnp.asarray(sb[cs:cs + chunk]),
+                win_h, win_w, hp, wp)
+            gxl.append(np.asarray(cx))
+            gyl.append(np.asarray(cy))
+            grl.append(np.asarray(cr))
+        gx = np.concatenate(gxl)
+        gy = np.concatenate(gyl)
+        gr = np.concatenate(grl)
         sx[sel], sy[sel], resp[sel] = gx, gy, gr
         # cv2-style (x, y) is minus the displacement: window offset =
         # (-y, -x); full measurement = anchor delta + measured window offset
