@@ -23,7 +23,9 @@ kernel eliminates per-keypoint HBM traffic entirely:
 Descriptor VALUES match ops/features/describe.describe_batch (upright
 SURF/SURF-extended) up to lane ORDER within a vector — distances are
 permutation-invariant and descriptors are only ever compared to descriptors
-from the same path, so no unpermute is needed (see DESC_PERM for tests).
+from the same path, so no unpermute is needed (and by construction of
+_pool_matrix the lane order in fact matches the XLA layout exactly —
+the parity tests compare directly).
 
 Reference analog: the per-keypoint descriptor loops inside
 cv2.xfeatures2d.SURF (reference: ImageUtility.py:255-262) and the CUDA
@@ -81,7 +83,7 @@ def _row_weights() -> np.ndarray:
     return _gauss_1d_factor()
 
 
-def _make_describe_kernel(n_bands: int, wp: int, kpad: int, extended: bool):
+def _make_describe_kernel(extended: bool):
     c = 8 if extended else 4
     grow = _row_weights()
 
@@ -181,16 +183,6 @@ def _make_describe_kernel(n_bands: int, wp: int, kpad: int, extended: bool):
     return kernel
 
 
-def desc_perm(extended: bool = True) -> np.ndarray:
-    """Lane permutation p with pallas_desc[:, p] == xla_desc.
-
-    XLA lane order: rs*4*C + cs*C + ch; kernel order: rs*4*C + cs*C + ch —
-    identical by construction of _pool_matrix; kept for test clarity.
-    """
-    c = 8 if extended else 4
-    return np.arange(16 * c)
-
-
 @functools.partial(jax.jit, static_argnames=("extended", "interpret"))
 def describe_atlas(atlas: jnp.ndarray, r0w: jnp.ndarray, ca: jnp.ndarray,
                    off: jnp.ndarray, band_start: jnp.ndarray,
@@ -232,7 +224,7 @@ def describe_atlas(atlas: jnp.ndarray, r0w: jnp.ndarray, ca: jnp.ndarray,
     # n_bands*BAND) belong to the last band — its strip reaches Hp anyway
     band_start = band_start.at[-1].set(k)
     out = pl.pallas_call(
-        _make_describe_kernel(n_bands, wp, kpad, extended),
+        _make_describe_kernel(extended),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_bands,),
