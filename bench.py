@@ -165,10 +165,11 @@ def _pool_bytes_model(n: int, h: int, w: int, cfg) -> float:
     emitting (K*, D) descriptors.  Legacy path additionally writes + re-
     reads the score/raw maps and gathers per-keypoint patches from HBM.
     """
+    from imagestitch_tpu.core.feature_registration import _ROW_CANDS
     total = 0.0
     ho, wo = h, w
     k_star = 0.0
-    row_cands = (4, 2, 2, 4)
+    row_cands = _ROW_CANDS
     for o in range(cfg.features.n_octaves):
         if o > 0:
             if min(ho, wo) < 256:

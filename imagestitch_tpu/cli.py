@@ -117,16 +117,22 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "platform", None):
         import jax
-        from jax._src import xla_bridge
 
         # jax caches backends on first use and jax_platforms has no update
         # hook, so this flag is a silent no-op once any computation has run
         # in this process — fail loudly instead of mis-promising a backend
-        # (advisor r3).
-        if xla_bridge._backends and args.platform not in xla_bridge._backends:
+        # (advisor r3).  The backend registry is private API; if it moves
+        # across jax releases, fall back to setting the flag unconditionally
+        # rather than crashing a valid invocation (advisor r4).
+        try:
+            from jax._src import xla_bridge
+            backends = xla_bridge._backends
+        except (ImportError, AttributeError):
+            backends = None
+        if backends and args.platform not in backends:
             raise SystemExit(
                 f"--platform {args.platform}: a jax backend is already "
-                f"initialized in this process ({list(xla_bridge._backends)}); "
+                f"initialized in this process ({list(backends)}); "
                 "the platform can only be pinned before the first jax "
                 "computation — run the CLI in a fresh process.")
         jax.config.update("jax_platforms", args.platform)

@@ -122,7 +122,7 @@ def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
         rows_a, cols_a, rows_b, cols_b, train_idx, ok)
     if vote_method == "ransac":
         return vote.ransac_translation_batch(d_row, d_col, v)
-    return vote.mode_vote_batch(d_row, d_col, v)
+    return vote.mode_vote_batch(d_row, d_col, v)  # (dr, dc, n, any_valid)
 
 
 def _effective_max_distance(cfg: StitchConfig) -> float:
@@ -149,7 +149,7 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
     dist_chunk = max(1, (1 << 28) // (4 * max_kp * max_kp))
     conv_chunk = max(1, (12 << 30) // (strip_px * 4 * 100))
     chunk = cfg.pair_batch or min(dist_chunk, conv_chunk)
-    drows, dcols, votes = [], [], []
+    drows, dcols, votes, nzs = [], [], [], []
     for s in range(0, len(idx), chunk):
         sub, keep = reg.pad_indices(idx[s:s + chunk])
         # build a (B+1)-image slice whose adjacent pairs are exactly `sub`:
@@ -157,7 +157,7 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
         imgs = jnp.concatenate([images_dev[jnp.asarray(sub)],
                                 images_dev[jnp.asarray(sub) + 1]])
         b = len(sub)
-        dr, dc, nv = _feature_attempt_pairs_jit(
+        dr, dc, nv, av = _feature_attempt_pairs_jit(
             imgs[:b], imgs[b:], direction, ratio, max_kp,
             dparams, sparams, metric,
             cfg.features.search_ratio,
@@ -169,9 +169,13 @@ def _strict_attempt(images_dev, direction: int, ratio: float,
             use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
         drows.append(np.asarray(dr)[:keep])
         dcols.append(np.asarray(dc)[:keep])
-        votes.append(np.asarray(nv)[:keep])
+        nv = np.asarray(nv)[:keep]
+        votes.append(nv)
+        # "nz": votes with the empty-displacement floor zeroed out —
+        # distinguishes "no valid matches at all" from a real 1-vote mode
+        nzs.append(np.where(np.asarray(av)[:keep], nv, 0))
     return {"drow": np.concatenate(drows), "dcol": np.concatenate(dcols),
-            "votes": np.concatenate(votes)}
+            "votes": np.concatenate(votes), "nz": np.concatenate(nzs)}
 
 
 # ---------------------------------------------------------------------------
@@ -440,13 +444,14 @@ def _pool_attempt_jit(rows, cols, scores, descs, idx: jnp.ndarray,
     d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
         ra, ca, rb_sel, cb_sel, ok)
     if vote_method == "ransac":
-        dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
-        return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
-    dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+        dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
+        return (dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32),
+                av)
+    dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
     drf = ra - rb_sel
     dcf = ca - cb_sel
     sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
-    return dr, dc, nv, sr, sc
+    return dr, dc, nv, sr, sc, av
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -530,15 +535,17 @@ class _PooledCache:
                 cfg.use_pallas and jax.default_backend() == "tpu")
             self.dispatches += 1
             self.attempts_matched += len(idx_p) * len(configs)
-            for (d, s), (dr, dc, nv, sr, sc) in zip(configs, results):
+            for (d, s), (dr, dc, nv, sr, sc, av) in zip(configs, results):
                 dstore = self._store.setdefault((d, s), {})
                 nv = np.asarray(nv)[:keep]
                 sr = np.asarray(sr)[:keep]
                 sc = np.asarray(sc)[:keep]
+                av = np.asarray(av)[:keep]
                 for j, p in enumerate(idx):
                     dstore[int(p)] = {"drow": float(sr[j]),
                                       "dcol": float(sc[j]),
-                                      "votes": float(nv[j])}
+                                      "votes": float(nv[j]),
+                                      "nz": float(nv[j]) if av[j] else 0.0}
         return store[pair]
 
 
@@ -549,7 +556,11 @@ def _pool_accept(cfg: StitchConfig):
 
 
 def _pool_extract(res: Dict[str, float]):
-    return float(res["drow"]), float(res["dcol"]), float(res["votes"])
+    # confidence = the FLOOR-ZEROED vote count ("nz"): 0 when the attempt had
+    # no valid displacements at all, so downstream retry gates can tell the
+    # reference's empty floor (votes=1, ImageUtility.py:173-176) from a real
+    # 1-vote mode.  The ACCEPT decision still uses the parity "votes" value.
+    return float(res["drow"]), float(res["dcol"]), float(res["nz"])
 
 
 # Introspection (tests/bench): dispatch + matmul accounting of the most
@@ -584,15 +595,17 @@ def _oriented_fallback_incre(images_dev, recs: List[reg.PairRegistration],
     touch, so one stubborn pair costs a two-frame pool, not a sequence
     recompute.
 
-    Pairs whose best attempt never found ANY translational consensus
-    (confidence <= 1: the mode vote's floor is 1, the reference's empty
-    -displacement convention, ImageUtility.py:173-176) are skipped —
-    orientation cannot rescue a pair with zero agreeing matches, and the
-    one permanently-impossible pair (the missing-frame dendritic pair)
-    otherwise forces a two-frame oriented pool + replay EVERY run
-    (VERDICT r3 weak #5: fallback cost > the replay it rescues)."""
+    Pairs whose attempts never produced a single VALID match displacement
+    (confidence == 0: the floor-zeroed vote count, see _pool_extract) are
+    skipped — with zero upright matches surviving the ratio test there is
+    no signal for orientation to rescue, and the permanently-impossible
+    missing-frame dendritic pair otherwise forces a two-frame oriented
+    pool + replay EVERY run (VERDICT r3 weak #5).  A real low-vote mode
+    (confidence 1-2) IS retried: rotated pairs — exactly the case this
+    fallback exists for — often yield only 1-2 agreeing upright matches
+    (r4 advisor medium finding)."""
     failed = [k for k, r in enumerate(recs)
-              if not r.ok and r.confidence > 1.0]
+              if not r.ok and r.confidence > 0.0]
     if not failed:
         return recs
     frames = sorted({f for k in failed for f in (k, k + 1)})
@@ -603,7 +616,8 @@ def _oriented_fallback_incre(images_dev, recs: List[reg.PairRegistration],
         images_dev[jnp.asarray(frames)],
         _capacity(cfg, cfg.features.pool_keypoints),
         _detect_params(cfg), _describe_params(cfg),
-        use_pallas_doh=cfg.use_pallas and jax.default_backend() == "tpu")
+        use_pallas_doh=cfg.use_pallas and jax.default_backend() == "tpu",
+        fused_select=cfg.features.fused_select)
     h, w = shape
     _, _, metric = _families(cfg)
     cache = _PooledCache(mini, cfg, h, w, metric)
@@ -662,8 +676,9 @@ def register_sequence_features_incre(images: np.ndarray, cfg: StitchConfig
         return bool(res["votes"] >= cfg.offset_evaluate)
 
     def extract(res: Dict[str, float]):
-        # already integer (truncated) offsets; confidence = vote count
-        return float(res["drow"]), float(res["dcol"]), float(res["votes"])
+        # already integer (truncated) offsets; confidence = floor-zeroed
+        # vote count (0 when no valid displacements existed — _pool_extract)
+        return float(res["drow"]), float(res["dcol"]), float(res["nz"])
 
     return reg._replay_incremental(n - 1, cfg, cache, accept, extract, (h, w),
                                    offsets_are_full=offsets_are_full)
@@ -687,10 +702,11 @@ def _match_vote_adjacent(pool, ia: np.ndarray, cfg: StitchConfig,
         d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
             rows[sub], cols[sub], rows[sub + 1], cols[sub + 1], ti, ok)
         if cfg.offset_calculate == "ransac":
-            dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
+            dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
         else:
-            dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+            dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
         dr, dc, nv = np.asarray(dr), np.asarray(dc), np.asarray(nv)
+        av = np.asarray(av)
         for k in range(len(ia[s:s + pchunk])):
             okk = bool(nv[k] >= cfg.offset_evaluate)
             out.append(reg.PairRegistration(
@@ -698,7 +714,9 @@ def _match_vote_adjacent(pool, ia: np.ndarray, cfg: StitchConfig,
                 offset=(int(dr[k]), int(dc[k])) if okk else (0, 0),
                 offset_subpix=(float(dr[k]), float(dc[k])) if okk else (0.0, 0.0),
                 direction=cfg.direction if okk else 0,
-                scale=0, confidence=float(nv[k]), attempts=1))
+                scale=0,
+                # confidence: floor-zeroed votes (0 = no valid matches)
+                confidence=float(nv[k]) if av[k] else 0.0, attempts=1))
     return out
 
 
@@ -733,19 +751,24 @@ def register_sequence_features(images: np.ndarray, cfg: StitchConfig
     fast = cfg.features.auto_upright and not cfg.features.upright
     sparams_fast = dataclasses.replace(sparams, upright=True) if fast \
         else sparams
+    # fused_select honored here too (advisor r4: the batch API path silently
+    # ignored cfg.features.fused_select, inconsistent with _precompute_pool)
     pool = _pool_features_jit(im, max_kp, dparams, sparams_fast,
-                              use_pallas_doh=use_doh)
+                              use_pallas_doh=use_doh,
+                              fused_select=cfg.features.fused_select)
     out = _match_vote_adjacent(pool, np.arange(n - 1), cfg, metric)
-    # same no-consensus skip as the incremental fallback: a pair whose best
-    # upright vote is <= 1 (the empty-displacement floor) has nothing for
-    # oriented descriptors to rescue
+    # same no-consensus skip as the incremental fallback: a pair with ZERO
+    # valid upright match displacements (confidence 0, the floor-zeroed
+    # count) has nothing for oriented descriptors to rescue; real 1-vote
+    # modes ARE retried (r4 advisor medium finding)
     failed = [k for k, r in enumerate(out)
-              if not r.ok and r.confidence > 1.0]
+              if not r.ok and r.confidence > 0.0]
     if fast and failed:
         frames = sorted({f for k in failed for f in (k, k + 1)})
         fmap = {f: i for i, f in enumerate(frames)}
         mini = _pool_features_jit(im[jnp.asarray(frames)], max_kp, dparams,
-                                  sparams, use_pallas_doh=use_doh)
+                                  sparams, use_pallas_doh=use_doh,
+                                  fused_select=cfg.features.fused_select)
         sub = _match_vote_adjacent(mini,
                                    np.asarray([fmap[k] for k in failed]),
                                    cfg, metric)

@@ -44,7 +44,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and not _build():
+        # the binary is NOT tracked in git (r4 hygiene): always invoke make
+        # (a no-op when up to date, and the staleness check when the source
+        # changed); keep an existing .so if the toolchain is unavailable
+        if not _build() and not os.path.exists(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)

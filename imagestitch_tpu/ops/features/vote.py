@@ -58,11 +58,15 @@ def _mode_vote_one(d_row: jnp.ndarray, d_col: jnp.ndarray, valid: jnp.ndarray
     dcol = wkey % _SPAN - _OFF
     n = counts[win]
     any_valid = jnp.any(valid)
-    # reference: empty displacement list -> single (0,0) vote (count 1)
+    # reference: empty displacement list -> single (0,0) vote (count 1).
+    # ``any_valid`` is returned alongside so callers can tell this floor
+    # apart from a GENUINE 1-vote mode (the two are indistinguishable from
+    # ``n`` alone; conflating them mis-gated the oriented fallback — r4
+    # advisor finding).
     drow = jnp.where(any_valid, drow, 0)
     dcol = jnp.where(any_valid, dcol, 0)
     n = jnp.where(any_valid, n, 1)
-    return drow, dcol, n
+    return drow, dcol, n, any_valid
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -115,7 +119,11 @@ def displacement_from_coords(rows_a, cols_a, rb_sel, cb_sel, valid):
 @jax.jit
 def mode_vote_batch(d_row: jnp.ndarray, d_col: jnp.ndarray,
                     valid: jnp.ndarray):
-    """vmapped mode voting over the pair axis (P, K)."""
+    """vmapped mode voting over the pair axis (P, K).
+
+    Returns ``(drow, dcol, count, any_valid)`` — ``any_valid`` False means
+    ``count`` is the reference's empty-displacement floor of 1, not a real
+    single-vote consensus."""
     return jax.vmap(_mode_vote_one)(d_row, d_col, valid)
 
 
@@ -129,7 +137,8 @@ def ransac_translation_batch(d_row: jnp.ndarray, d_col: jnp.ndarray,
     translation-only rig the exact equivalent is consensus over per-match
     displacements: every match proposes its displacement, inliers are matches
     within ``tol`` (cv2.findHomography's reprojection threshold, =3), and the
-    winner maximizes inlier count.  Returns (drow, dcol, inlier_count).
+    winner maximizes inlier count.  Returns (drow, dcol, inlier_count,
+    any_valid); with no valid matches the count is 0 and any_valid False.
     """
     def one(dr, dc, v):
         drf = dr.astype(jnp.float32)
@@ -145,6 +154,6 @@ def ransac_translation_batch(d_row: jnp.ndarray, d_col: jnp.ndarray,
         mr = jnp.sum(jnp.where(inl, drf, 0.0)) / jnp.maximum(n, 1)
         mc = jnp.sum(jnp.where(inl, dcf, 0.0)) / jnp.maximum(n, 1)
         return (jnp.round(mr).astype(jnp.int32),
-                jnp.round(mc).astype(jnp.int32), n)
+                jnp.round(mc).astype(jnp.int32), n, jnp.any(v))
 
     return jax.vmap(one)(d_row, d_col, valid)

@@ -153,9 +153,9 @@ def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
         ra[:-1], ca[:-1], rb[1:], cb[1:], ti, ok)
     if vote_method == "ransac":
-        dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
+        dr, dc, nv, _ = vote.ransac_translation_batch(d_row, d_col, v)
         return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
-    dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+    dr, dc, nv, _ = vote.mode_vote_batch(d_row, d_col, v)
     drf, dcf = jax.vmap(vote.displacement_from_matches_f)(
         ra[:-1], ca[:-1], rb[1:], cb[1:], ti)
     sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)

@@ -123,15 +123,15 @@ def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
         d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
             ra[:-1], ca[:-1], rb_sel, cb_sel, ok)
         if vote_method == "ransac":
-            dr, dc, nv = vote.ransac_translation_batch(d_row, d_col, v)
+            dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
             out.append((dr, dc, nv, dr.astype(jnp.float32),
-                        dc.astype(jnp.float32)))
+                        dc.astype(jnp.float32), av))
             continue
-        dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+        dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
         drf = ra[:-1] - rb_sel
         dcf = ca[:-1] - cb_sel
         sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
-        out.append((dr, dc, nv, sr, sc))
+        out.append((dr, dc, nv, sr, sc, av))
     return out
 
 
@@ -180,14 +180,16 @@ class ShardedPooledCache:
             self.dispatches += 1
             n_pairs = int(np.asarray(results[0][2]).shape[0])
             self.attempts_matched += n_pairs * len(configs)
-            for (d, s), (dr, dc, nv, sr, sc) in zip(configs, results):
+            for (d, s), (dr, dc, nv, sr, sc, av) in zip(configs, results):
                 dstore = self._store.setdefault((d, s), {})
                 nv = np.asarray(nv)
                 sr = np.asarray(sr)
                 sc = np.asarray(sc)
+                av = np.asarray(av)
                 for p in range(n_pairs):
                     dstore[p] = {"drow": float(sr[p]), "dcol": float(sc[p]),
-                                 "votes": float(nv[p])}
+                                 "votes": float(nv[p]),
+                                 "nz": float(nv[p]) if av[p] else 0.0}
         return store[pair]
 
 
@@ -237,14 +239,14 @@ def register_sequence_features_sharded(images: np.ndarray, cfg: StitchConfig,
     max_kp = freg._capacity(cfg, cfg.features.max_keypoints)
     use_doh = cfg.use_pallas and jax.default_backend() == "tpu"
     pool = _pool_fn(mesh, max_kp, freg._detect_params(cfg), sparams_fast,
-                    use_doh)(images_dev)
+                    use_doh, cfg.features.fused_select)(images_dev)
     _, _, metric = freg._families(cfg)
     # whole-frame bounds: the "strip" is the full image
     bounds = ((0, h, 0, w), (0, h, 0, w))
     (res,) = _attempt_all_pairs_jit(
         *pool, (bounds,), max_kp, metric, cfg.features.search_ratio,
         freg._effective_max_distance(cfg), cfg.offset_calculate)
-    dr, dc, nv, sr, sc = (np.asarray(x) for x in res)
+    dr, dc, nv, sr, sc, av = (np.asarray(x) for x in res)
     out: List[reg.PairRegistration] = []
     for k in range(n - 1):
         okk = bool(nv[k] >= cfg.offset_evaluate)
@@ -252,14 +254,15 @@ def register_sequence_features_sharded(images: np.ndarray, cfg: StitchConfig,
             ok=okk, offset=(int(dr[k]), int(dc[k])) if okk else (0, 0),
             offset_subpix=(float(sr[k]), float(sc[k])) if okk else (0.0, 0.0),
             direction=cfg.direction if okk else 0,
-            scale=0, confidence=float(nv[k]), attempts=1))
+            scale=0, confidence=float(nv[k]) if av[k] else 0.0, attempts=1))
     failed = [k for k, r in enumerate(out) if not r.ok]
     if fast and failed:
         frames = sorted({f for k in failed for f in (k, k + 1)})
         fmap = {f: i for i, f in enumerate(frames)}
         mini = freg._pool_features_jit(
             jnp.asarray(images)[jnp.asarray(frames)], max_kp,
-            freg._detect_params(cfg), sparams, use_pallas_doh=use_doh)
+            freg._detect_params(cfg), sparams, use_pallas_doh=use_doh,
+            fused_select=cfg.features.fused_select)
         sub = freg._match_vote_adjacent(
             mini, np.asarray([fmap[k] for k in failed]), cfg, metric)
         for k, r in zip(failed, sub):

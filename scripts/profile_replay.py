@@ -95,7 +95,7 @@ fence((ti, ok))
 def vote_only(ra, ca_, ti, ok):
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
         ra, ca_, ra, ca_, ti, ok)
-    dr, dc, nv = vote.mode_vote_batch(d_row, d_col, v)
+    dr, dc, nv, _ = vote.mode_vote_batch(d_row, d_col, v)
     drf, dcf = jax.vmap(vote.displacement_from_matches_f)(ra, ca_, ra, ca_, ti)
     return vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
 

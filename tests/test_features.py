@@ -50,9 +50,9 @@ def test_mode_vote_matches_oracle(rng):
             d_row[slot] = int(pa[0] - pb[0])
             d_col[slot] = int(pa[1] - pb[1])
             valid[slot] = True
-        dr, dc, n = vote.mode_vote_batch(jnp.asarray(d_row)[None],
-                                         jnp.asarray(d_col)[None],
-                                         jnp.asarray(valid)[None])
+        dr, dc, n, _ = vote.mode_vote_batch(jnp.asarray(d_row)[None],
+                                            jnp.asarray(d_col)[None],
+                                            jnp.asarray(valid)[None])
         got_ok = bool(n[0] >= 3)
         assert got_ok == ok_o, (trial, int(n[0]), off_o)
         if ok_o:
