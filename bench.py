@@ -256,7 +256,7 @@ def main():
     # ingest (io/prefetch.py: worker decode of chunk k+1 ∥ transfer ∥ pool
     # compute of chunk k — the same path the --mesh driver uses), so the
     # cold accounting overlaps decode/H2D with the first compiles.
-    recs0, _gray0 = prefetch.register_sequence_pipelined(files, cfg)
+    recs0, _gray0, _ = prefetch.register_sequence_pipelined(files, cfg)
     outs0 = []
     for s, e in _segments(recs0, n):
         if e - s < 2:
@@ -317,7 +317,7 @@ def main():
     # pipeline (r4: 38.7 s polluted vs 11.1 s clean)
     def stitch_from_files() -> float:
         t0 = time.time()
-        recs, gray_dev = prefetch.register_sequence_pipelined(files, cfg)
+        recs, gray_dev, _ = prefetch.register_sequence_pipelined(files, cfg)
         outs = []
         for s, e in _segments(recs, n):
             if e - s < 2:

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-pair log lines to the evaluate file "
                         "(reference printAndWrite sink)")
     s.add_argument("--evaluate-file", default="evaluate.txt")
+    s.add_argument("--stream-output", action="store_true",
+                   help="delta-only panorama readback: device composes, "
+                        "host assembles from decoded frames + a fused-rect "
+                        "stream; color composes host-side (no color upload)."
+                        "  Wins on thin host<->device links")
     s.add_argument("--use-solver", action="store_true",
                    help="refine the offset chain with the global pose-graph "
                         "solver before composition (new capability)")
@@ -97,6 +102,7 @@ def config_from_args(args) -> StitchConfig:
         color_mode=not args.gray,
         fuse_method=args.fuse_method,
         use_global_solver=args.use_solver,
+        stream_output=args.stream_output,
         features=FeatureConfig(method=args.feature_method,
                                max_keypoints=args.max_keypoints,
                                search_ratio=args.search_ratio,

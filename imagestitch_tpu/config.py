@@ -136,6 +136,15 @@ class StitchConfig:
     # composer derives its row-block size from the mesh (rows / n_devices),
     # so a user-set block edge had nothing left to control.
     pair_batch: int = 0                # 0 = all pairs in one dispatch
+    stream_output: bool = False        # delta-only panorama materialization
+                                       # (core/stream_out.py): device composes,
+                                       # host rebuilds from frames it already
+                                       # owns + a fused-rect-only readback;
+                                       # color composes host-side with the
+                                       # CPU-backend fusion kernels (zero
+                                       # color bytes cross the link).  Wins
+                                       # when the host<->device link is thin;
+                                       # default off (full readback).
     compute_dtype: str = "float32"     # detector conv/response dtype
                                        # ("bfloat16" halves response-map HBM
                                        # traffic; FFTs always run float32)

@@ -274,14 +274,31 @@ def compose(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
     if cfg.fuse_method in ("multiBandBlending", "optimalSeamLine"):
         assert not color, f"{cfg.fuse_method} supports gray only (ref parity)"
     h, w = images.shape[1], images.shape[2]
-    placement = compute_placement(offsets, (h, w))
+    placement, steps, pairwise = plan_compose(offsets, (h, w), cfg)
     rows, cols = placement.canvas_shape
     shape = (rows, cols, 3) if color else (rows, cols)
     canvas = jnp.full(shape, -1, jnp.int16)
     images_dev = jnp.asarray(images)
 
+    return _run_steps(steps, images_dev, canvas, pairwise, cfg, color,
+                      return_device)
+
+
+def plan_compose(offsets: Sequence[Tuple[int, int]],
+                 image_shape: Tuple[int, int], cfg: StitchConfig):
+    """Placement + per-image step classification, shared by the device
+    composer and the streamed-output assembler (core/stream_out.py).
+
+    Returns ``(placement, steps, pairwise)`` where each step is
+    ``("paste", i, (r, c), None, None)`` or
+    ``("fuse", i, (r, c), (rr0, rc0), (rh, rw))`` (reference pass-2
+    classification, Stitcher.py:440-483: image i fuses only against the
+    occupancy rect of image i-1).
+    """
+    h, w = image_shape
+    n = len(offsets) + 1
+    placement = compute_placement(offsets, (h, w))
     pairwise = [(0, 0)] + [tuple(o) for o in offsets]
-    # classify each step: (kind, data); kind = ("paste",) | ("fuse", rh, rw)
     steps = []
     for i in range(n):
         r, c = placement.positions[i]
@@ -297,9 +314,7 @@ def compose(images: np.ndarray, offsets: Sequence[Tuple[int, int]],
         else:
             steps.append(("fuse", i, (r, c), (rr0, rc0),
                           (rr1 - rr0, rc1 - rc0)))
-
-    return _run_steps(steps, images_dev, canvas, pairwise, cfg, color,
-                      return_device)
+    return placement, steps, pairwise
 
 
 def compose_from_positions(images: np.ndarray,

@@ -191,7 +191,8 @@ class Stitcher:
                                             file_range=(start, end + 1),
                                             offsets=seg_offsets))
             else:
-                img = compose_mod.compose(seg_images, seg_offsets, self.cfg)
+                img = self._compose_segment(batch, seg_images, seg_offsets,
+                                            start, end)
                 results.append(StitchResult(image=img,
                                             file_range=(start, end + 1),
                                             offsets=seg_offsets))
@@ -201,6 +202,32 @@ class Stitcher:
         for r in results:
             r.report = report
         return results
+
+    def _compose_segment(self, batch: dataset.ImageBatch, seg_images,
+                         seg_offsets, start: int, end: int) -> np.ndarray:
+        """Single-device segment composition: full readback by default;
+        ``cfg.stream_output`` materializes via the delta-readback assembler
+        (core/stream_out.py) when the required host frames are available."""
+        cfg = self.cfg
+        if cfg.stream_output:
+            from . import stream_out
+            if cfg.color_mode:
+                # color never crosses the link: host canvas + CPU-backend
+                # fusion kernels (stream_out.compose_color_host)
+                if isinstance(batch.color, np.ndarray) and \
+                        cfg.fuse_method in compose_mod._PADDABLE_METHODS:
+                    return stream_out.compose_color_host(
+                        np.asarray(seg_images), seg_offsets, cfg)
+            else:
+                host = batch.gray_host if batch.gray_host is not None else (
+                    batch.gray if isinstance(batch.gray, np.ndarray) else None)
+                if host is not None:
+                    dev = None if isinstance(seg_images, np.ndarray) \
+                        else seg_images
+                    return stream_out.compose_streamed(
+                        host[start:end + 1], seg_offsets, cfg,
+                        frames_dev=dev)
+        return compose_mod.compose(seg_images, seg_offsets, cfg)
 
     def stitch_files(self, files: Sequence[str]) -> List[StitchResult]:
         """Stitch a file sequence with pipelined ingest (SURVEY §2.3 PP row):
@@ -221,15 +248,17 @@ class Stitcher:
             and not cfg.enhance.enabled
             and not cfg.color_mode)
         if fused_ingest:
-            recs, gray_dev = prefetch.register_sequence_pipelined(
-                files, cfg.replace(direction=self._direction))
+            recs, gray_dev, gray_host = prefetch.register_sequence_pipelined(
+                files, cfg.replace(direction=self._direction),
+                keep_host=cfg.stream_output)
             for r in reversed(recs):
                 if r.ok and r.direction:
                     self._direction = r.direction
                     break
             self._log_records(recs)
             batch = dataset.ImageBatch(gray=gray_dev, color=None,
-                                       files=list(files))
+                                       files=list(files),
+                                       gray_host=gray_host)
             return self.stitch_batch(batch, recs=recs)
         batch = prefetch.load_batch_pipelined(
             files, cfg.color_mode,

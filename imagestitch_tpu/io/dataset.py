@@ -48,6 +48,10 @@ class ImageBatch:
     gray: np.ndarray
     color: Optional[np.ndarray]
     files: List[str]
+    # host copy of ``gray`` when ``gray`` is device-resident and the caller
+    # wants streamed output (stream_out assembles from host frames); None
+    # when ``gray`` itself is host-side or streaming is off
+    gray_host: Optional[np.ndarray] = None
 
     @property
     def num_images(self) -> int:

@@ -49,18 +49,23 @@ class ChunkPrefetcher:
 
 
 def pooled_features_pipelined(files: Sequence[str], cfg,
-                              chunk_frames: int = 16
-                              ) -> Tuple[tuple, jnp.ndarray]:
+                              chunk_frames: int = 16,
+                              keep_host: bool = False
+                              ) -> Tuple[tuple, jnp.ndarray,
+                                         Optional[np.ndarray]]:
     """Decode-overlapped pooled feature extraction for a whole sequence.
 
-    Returns ``(pool, gray_dev)``: the (rows, cols, scores, descs) keypoint
-    pool for every frame and the device-resident grayscale batch (kept for
-    composition).  Equivalent to ``load_batch`` + ``_precompute_pool`` but
-    with decode(k+1) ∥ transfer(k) ∥ pool-compute(k).
+    Returns ``(pool, gray_dev, gray_host)``: the (rows, cols, scores, descs)
+    keypoint pool for every frame and the device-resident grayscale batch
+    (kept for composition); ``gray_host`` is the decoded host batch when
+    ``keep_host`` (streamed-output assembly input), else None.  Equivalent
+    to ``load_batch`` + ``_precompute_pool`` but with
+    decode(k+1) ∥ transfer(k) ∥ pool-compute(k).
     """
     from ..core import feature_registration as freg
 
     dev_chunks: List[jnp.ndarray] = []
+    host_chunks: List[np.ndarray] = []
     pools = []
     for batch in ChunkPrefetcher(files, color_mode=False,
                                  chunk_frames=chunk_frames):
@@ -69,11 +74,17 @@ def pooled_features_pipelined(files: Sequence[str], cfg,
         # prefetcher thread decodes the next chunk
         pools.append(freg._precompute_pool(dev, cfg))
         dev_chunks.append(dev)
+        if keep_host:
+            host_chunks.append(batch.gray)
     gray_dev = jnp.concatenate(dev_chunks) if len(dev_chunks) > 1 \
         else dev_chunks[0]
     pool = tuple(jnp.concatenate([p[i] for p in pools])
                  for i in range(len(pools[0])))
-    return pool, gray_dev
+    gray_host = None
+    if keep_host:
+        gray_host = np.concatenate(host_chunks) if len(host_chunks) > 1 \
+            else host_chunks[0]
+    return pool, gray_dev, gray_host
 
 
 def load_batch_pipelined(files: Sequence[str], color_mode: bool,
@@ -108,13 +119,15 @@ def load_batch_pipelined(files: Sequence[str], color_mode: bool,
 
 
 def register_sequence_pipelined(files: Sequence[str], cfg,
-                                chunk_frames: int = 16):
+                                chunk_frames: int = 16,
+                                keep_host: bool = False):
     """End-to-end decode-included registration of a file sequence.
 
-    Returns ``(records, gray_dev)`` — feature_incre pooled-path records
-    (identical to register_sequence_features_incre on the decoded batch;
-    detection is per-frame, so chunking changes nothing) plus the
-    device-resident grayscale frames.
+    Returns ``(records, gray_dev, gray_host)`` — feature_incre pooled-path
+    records (identical to register_sequence_features_incre on the decoded
+    batch; detection is per-frame, so chunking changes nothing) plus the
+    device-resident grayscale frames; ``gray_host`` is the host batch when
+    ``keep_host`` (for streamed-output assembly), else None.
     """
     import dataclasses
 
@@ -123,9 +136,10 @@ def register_sequence_pipelined(files: Sequence[str], cfg,
     fast = cfg.features.auto_upright and not cfg.features.upright
     cfg_pool = cfg.replace(features=dataclasses.replace(
         cfg.features, upright=True)) if fast else cfg
-    pool, gray_dev = pooled_features_pipelined(files, cfg_pool, chunk_frames)
+    pool, gray_dev, gray_host = pooled_features_pipelined(
+        files, cfg_pool, chunk_frames, keep_host=keep_host)
     n, h, w = gray_dev.shape
     recs = freg.replay_from_pool(pool, n, (h, w), cfg_pool)
     if fast and any(not r.ok for r in recs):
         recs = freg._oriented_fallback_incre(gray_dev, recs, cfg, (h, w))
-    return recs, gray_dev
+    return recs, gray_dev, gray_host

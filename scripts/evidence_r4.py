@@ -167,7 +167,7 @@ def pipelined_profile():
     out = {"runs": []}
     for _ in range(3):
         t0 = time.time()
-        pool, gray_dev = prefetch.pooled_features_pipelined(files, cfg_pool)
+        pool, gray_dev, _ = prefetch.pooled_features_pipelined(files, cfg_pool)
         _fence(pool)
         t_pool = time.time() - t0
         n, h, w = gray_dev.shape

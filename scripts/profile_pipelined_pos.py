@@ -42,7 +42,7 @@ def segments(recs, n):
 
 def stitch_from_files():
     t0 = time.time()
-    recs, gray_dev = prefetch.register_sequence_pipelined(files, cfg)
+    recs, gray_dev, _ = prefetch.register_sequence_pipelined(files, cfg)
     outs = []
     for s, e in segments(recs, n):
         if e - s < 2:

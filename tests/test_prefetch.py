@@ -28,7 +28,7 @@ def test_pipelined_registration_matches_direct():
         os.path.join(REFERENCE_DEMO, "zirconBSE"), 1)
     cfg = StitchConfig(registration="feature_incre", direction=4,
                        direct_incre=0, roi_ratio=0.2)
-    recs_p, gray_dev = prefetch.register_sequence_pipelined(
+    recs_p, gray_dev, _ = prefetch.register_sequence_pipelined(
         files, cfg, chunk_frames=2)
     batch = dataset.load_batch(files, color_mode=False)
     recs = freg.register_sequence_features_incre(batch.gray, cfg)

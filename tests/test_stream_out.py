@@ -1,0 +1,115 @@
+"""Streamed-output assembly == full-readback composition, pixel-exact.
+
+The delta-readback design (core/stream_out.py) claims: host paste replay +
+final-canvas rect patches reproduces the device panorama exactly, and the
+host color path (CPU-backend fusion kernels, zero color bytes over the
+link) equals the device color composer.  These tests assert both, across
+fuse modes, serpentine/negative-rebase layouts, and corner overlaps.
+"""
+import numpy as np
+import pytest
+
+from imagestitch_tpu import StitchConfig, compose
+from imagestitch_tpu.core import stream_out
+
+OFFSET_CASES = [
+    [(80, 3), (80, -2)],                         # linear strip
+    [(100, 1), (-10, 120), (-95, -2)],           # serpentine row transition
+    [(-50, 10), (30, -40)],                      # negative rebase both axes
+    [(30, 40), (40, -30), (-30, 35)],            # corner overlaps
+]
+
+
+def _tiles(rng, offsets, shape, color=False):
+    """Tiles cut from one base image so overlaps are consistent."""
+    from oracle import placement_oracle
+    pos, canvas, _, _ = placement_oracle(offsets, shape)
+    base_shape = canvas + (3,) if color else canvas
+    base = rng.integers(1, 255, base_shape, np.uint8)
+    h, w = shape
+    return np.stack([base[r:r + h, c:c + w] for r, c in pos])
+
+
+@pytest.mark.parametrize("offsets", OFFSET_CASES)
+@pytest.mark.parametrize("fuse", ["notFuse", "average", "fadeInAndFadeOut",
+                                  "trigonometric"])
+def test_streamed_equals_full_readback_gray(rng, offsets, fuse):
+    shape = (120, 160)
+    tiles = _tiles(rng, offsets, shape)
+    cfg = StitchConfig(color_mode=False, fuse_method=fuse,
+                       registration="phase_incre")
+    full = compose(tiles, offsets, cfg)
+    streamed = stream_out.compose_streamed(tiles, offsets, cfg)
+    np.testing.assert_array_equal(streamed, full)
+
+
+def test_streamed_multiband_gray(rng):
+    offsets = [(80, 3)]
+    shape = (128, 160)
+    tiles = _tiles(rng, offsets, shape)
+    cfg = StitchConfig(color_mode=False, fuse_method="multiBandBlending",
+                       registration="phase_incre")
+    full = compose(tiles, offsets, cfg)
+    streamed = stream_out.compose_streamed(tiles, offsets, cfg)
+    np.testing.assert_array_equal(streamed, full)
+
+
+@pytest.mark.parametrize("offsets", OFFSET_CASES)
+@pytest.mark.parametrize("fuse", ["fadeInAndFadeOut", "average"])
+def test_color_host_equals_device_compose(rng, offsets, fuse):
+    shape = (120, 160)
+    tiles = _tiles(rng, offsets, shape, color=True)
+    cfg = StitchConfig(color_mode=True, fuse_method=fuse,
+                       registration="phase_incre")
+    full = compose(tiles, offsets, cfg)
+    host = stream_out.compose_color_host(tiles, offsets, cfg)
+    np.testing.assert_array_equal(host, full)
+
+
+def test_stitcher_stream_output_matches_default():
+    """End-to-end Stitcher with --stream-output == default, on real demo
+    frames, gray (fused ingest keeps a host copy) AND color (host canvas)."""
+    import os
+    from conftest import REFERENCE_DEMO, has_demo_images
+    if not has_demo_images():
+        pytest.skip("reference demoImages not present")
+    from imagestitch_tpu import Stitcher
+    from imagestitch_tpu.io import dataset as ds
+    files = ds.list_project_images(os.path.join(REFERENCE_DEMO, "iron"), 1)
+    for color in (False, True):
+        cfg = StitchConfig(registration="phase_incre", direction=1,
+                           direct_incre=0, roi_ratio=0.2, color_mode=color,
+                           fuse_method="fadeInAndFadeOut")
+        base = Stitcher(cfg).stitch_files(files)
+        streamed = Stitcher(cfg.replace(stream_output=True)).stitch_files(files)
+        assert len(base) == len(streamed) == 1
+        np.testing.assert_array_equal(streamed[0].image, base[0].image)
+
+
+def test_stitcher_stream_output_feature_incre_gray():
+    """The flagship ingest path (feature_incre, fused pipelined decode)
+    retains host frames for the streamed assembler; results are identical."""
+    import os
+    from conftest import REFERENCE_DEMO, has_demo_images
+    if not has_demo_images():
+        pytest.skip("reference demoImages not present")
+    from imagestitch_tpu import Stitcher
+    from imagestitch_tpu.io import dataset as ds
+    files = ds.list_project_images(
+        os.path.join(REFERENCE_DEMO, "dendriticCrystal"), 1)[:4]
+    cfg = StitchConfig(registration="feature_incre", direction=1,
+                       direct_incre=1, roi_ratio=0.2, color_mode=False,
+                       fuse_method="fadeInAndFadeOut")
+    base = Stitcher(cfg).stitch_files(files)
+    streamed = Stitcher(cfg.replace(stream_output=True)).stitch_files(files)
+    assert len(base) == len(streamed)
+    for b, s in zip(base, streamed):
+        np.testing.assert_array_equal(s.image, b.image)
+
+
+def test_streamed_single_image(rng):
+    tiles = rng.integers(1, 255, (1, 60, 80), np.uint8)
+    cfg = StitchConfig(color_mode=False, fuse_method="fadeInAndFadeOut",
+                       registration="phase_incre")
+    streamed = stream_out.compose_streamed(tiles, [], cfg)
+    np.testing.assert_array_equal(streamed, tiles[0])
