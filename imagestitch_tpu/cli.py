@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--feature-method", default="surf",
                    choices=["surf", "sift", "orb"])
     s.add_argument("--offset-calculate", default="mode",
-                   choices=["mode", "ransac"])
+                   choices=["mode", "ransac", "ransac_translation"])
     s.add_argument("--offset-evaluate", type=int, default=3)
     s.add_argument("--roi-ratio", type=float, default=0.2)
     s.add_argument("--search-ratio", type=float, default=0.75)

@@ -113,6 +113,14 @@ class StitchConfig:
     #                    (new capability — fewer segment breaks than either)
     registration: str = "feature_incre"
     offset_calculate: str = "mode"     # "mode" | "ransac" (ImageUtility.py:43)
+                                       # | "ransac_translation" (extra: pure
+                                       # translation-consensus RANSAC, no
+                                       # reference analog).  "ransac" is the
+                                       # reference's homography RANSAC
+                                       # (cv2.findHomography(RANSAC, 3) +
+                                       # inlier count, ImageUtility.py:198),
+                                       # batched 4-pt DLT (ops/features/
+                                       # ransac.py).
     offset_evaluate: int = 3           # modal-count / inlier acceptance (ImageUtility.py:44)
     roi_ratio: float = 0.1             # incremental ROI growth step (ImageUtility.py:16)
     phase_response_threshold: float = 0.15  # Stitcher.py:30
@@ -168,7 +176,8 @@ class StitchConfig:
         if self.registration not in ("feature_incre", "feature", "phase_incre",
                                      "phase", "hybrid"):
             raise ValueError(f"unknown registration strategy: {self.registration}")
-        if self.offset_calculate not in ("mode", "ransac"):
+        if self.offset_calculate not in ("mode", "ransac",
+                                         "ransac_translation"):
             raise ValueError(f"unknown offset calculator: {self.offset_calculate}")
         if self.direction not in DIRECTIONS:
             raise ValueError(f"direction must be in {DIRECTIONS}")

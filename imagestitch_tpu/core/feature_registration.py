@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import StitchConfig
 from ..ops import enhance, roi
-from ..ops.features import describe, detect, match, vote
+from ..ops.features import describe, detect, match, ransac, vote
 from . import registration as reg
 
 
@@ -118,9 +118,15 @@ def _feature_attempt_pairs_jit(a: jnp.ndarray, b: jnp.ndarray,
     train_idx, ok = match.match_batch(da, db, valid_a, valid_b,
                                       search_ratio, max_distance, metric,
                                       use_pallas=use_pallas)
+    if vote_method == "ransac":
+        rb_sel = jnp.take_along_axis(rows_b, train_idx, axis=-1)
+        cb_sel = jnp.take_along_axis(cols_b, train_idx, axis=-1)
+        dr, dc, nv, av, _, _ = ransac.ransac_homography_batch(
+            rows_a, cols_a, rb_sel, cb_sel, ok)
+        return dr, dc, nv, av
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
         rows_a, cols_a, rows_b, cols_b, train_idx, ok)
-    if vote_method == "ransac":
+    if vote_method == "ransac_translation":
         return vote.ransac_translation_batch(d_row, d_col, v)
     return vote.mode_vote_batch(d_row, d_col, v)  # (dr, dc, n, any_valid)
 
@@ -441,9 +447,25 @@ def _pool_attempt_jit(rows, cols, scores, descs, idx: jnp.ndarray,
     ti, ok, rb_sel, cb_sel = match.match_batch_coords(
         da, db, va, vb, rb, cb, search_ratio, max_distance, metric,
         use_pallas=use_pallas)
+    if vote_method == "ransac":
+        # reference semantics: cv2.findHomography(RANSAC, 3) + inlier count
+        # + negated truncated H translation (ImageUtility.py:180-210).
+        # The homography is fit in STRIP-LOCAL coordinates, as the
+        # reference does — H's translation column is frame-dependent when
+        # its linear part is not exactly identity (measured 9 px shift on
+        # the dendritic pair between strip and full frames), so full-image
+        # coords would change the estimator.  Margins (integer strip
+        # origins) are re-added after; int truncation commutes with the
+        # integer shift.
+        dr, dc, nv, av, sr, sc = ransac.ransac_homography_batch(
+            ra - bounds_a[0], ca - bounds_a[2],
+            rb_sel - bounds_b[0], cb_sel - bounds_b[2], ok)
+        mr = bounds_a[0] - bounds_b[0]
+        mc = bounds_a[2] - bounds_b[2]
+        return dr + mr, dc + mc, nv, sr + mr, sc + mc, av
     d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
         ra, ca, rb_sel, cb_sel, ok)
-    if vote_method == "ransac":
+    if vote_method == "ransac_translation":
         dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
         return (dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32),
                 av)
@@ -699,12 +721,18 @@ def _match_vote_adjacent(pool, ia: np.ndarray, cfg: StitchConfig,
             descs[sub], descs[sub + 1], valid[sub], valid[sub + 1],
             cfg.features.search_ratio, _effective_max_distance(cfg),
             metric, use_pallas=cfg.use_pallas and jax.default_backend() == "tpu")
-        d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
-            rows[sub], cols[sub], rows[sub + 1], cols[sub + 1], ti, ok)
         if cfg.offset_calculate == "ransac":
-            dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
+            rb_sel = jnp.take_along_axis(rows[sub + 1], ti, axis=-1)
+            cb_sel = jnp.take_along_axis(cols[sub + 1], ti, axis=-1)
+            dr, dc, nv, av, _, _ = ransac.ransac_homography_batch(
+                rows[sub], cols[sub], rb_sel, cb_sel, ok)
         else:
-            dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
+            d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
+                rows[sub], cols[sub], rows[sub + 1], cols[sub + 1], ti, ok)
+            if cfg.offset_calculate == "ransac_translation":
+                dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
+            else:
+                dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
         dr, dc, nv = np.asarray(dr), np.asarray(dc), np.asarray(nv)
         av = np.asarray(av)
         for k in range(len(ia[s:s + pchunk])):

@@ -21,13 +21,14 @@ buffer -> one contiguous readback.
 
 Color goes further: the reference registers on grayscale and only loads
 color at composition (Stitcher.py:68-69, :381-384), so shipping the color
-batch to the device (3x the gray bytes) JUST to blend ~10% of its pixels is
-pure waste.  ``compose_color_host`` replays the paste sequence on a host
-canvas and evaluates each fusion rect with the SAME jax fusion kernels
-(ops/fusion/blend.py) pinned to the CPU backend — elementwise math is
-bit-identical across XLA backends, so the result equals the device color
-composer's (asserted in tests/test_stream_out.py) with ZERO color bytes
-crossing the link in either direction.
+batch to the device (3x the gray bytes) JUST to blend a fraction of its
+pixels is pure waste.  ``compose_color_host`` replays the paste sequence
+on a host canvas and evaluates each fusion rect with the float64 numpy
+kernels (ops/fusion/host_blend.py) — the REFERENCE's own arithmetic
+(ImageFusion.py:241-243 promotes through float64), with ZERO color bytes
+crossing the link in either direction.  The device f32 composer agrees to
+±1 LSB on ~5e-5 of blended pixels (measured on TPU, asserted bounded in
+tests/test_stream_out.py).
 
 The full-readback path (core/compose.py + utils/transfer.read_back) remains
 the default where the panorama's consumer is the device itself or the link
@@ -43,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import StitchConfig
-from ..ops.fusion import blend
 from . import compose as compose_mod
 
 
@@ -142,28 +142,20 @@ def compose_streamed(frames_host: np.ndarray,
 # Host color composition (no color bytes cross the link)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("bh", "bw", "method", "color"))
-def _fuse_padded_jit(roi_a: jnp.ndarray, roi_b: jnp.ndarray,
-                     drow, dcol, orow, ocol, rh, rw,
-                     bh: int, bw: int, method: str, color: bool):
-    del bh, bw  # shape-keyed compilation only
-    return blend.fuse_region_padded(roi_a, roi_b, drow, dcol,
-                                    orow, ocol, rh, rw, method, color)
-
-
 def compose_color_host(frames_color: np.ndarray,
                        offsets: Sequence[Tuple[int, int]],
                        cfg: StitchConfig) -> np.ndarray:
-    """Color panorama computed host-side with the device fusion kernels.
+    """Color panorama computed host-side in the REFERENCE's float64.
 
-    Replays the exact paste/fuse step sequence of the device composer
-    (plan_compose + plan_groups bucket normalization) on a host int16
-    canvas; each fusion rect runs ``blend.fuse_region_padded`` — the same
-    code the device scan calls — jitted on the CPU backend.  Elementwise
-    XLA math is backend-bit-identical, so the output equals
-    ``compose(frames_color, ...)`` without the (3x-gray) color upload or
-    the full-panorama readback.
+    Replays the exact paste/fuse step sequence of the device composer on a
+    host int16 canvas; each fusion rect runs the float64 numpy kernels
+    (ops/fusion/host_blend.py) — the reference's own arithmetic
+    (ImageFusion.py:241-243 promotes through float64, where the device
+    kernels run f32 with a documented ±1-LSB divergence on ~5e-5 of
+    blended pixels).  Zero color bytes cross the host<->device link in
+    either direction.
     """
+    from ..ops.fusion import host_blend
     assert frames_color.ndim == 4, "color batch expected"
     assert cfg.fuse_method in compose_mod._PADDABLE_METHODS, \
         f"{cfg.fuse_method} is gray-only (ref parity)"
@@ -172,27 +164,17 @@ def compose_color_host(frames_color: np.ndarray,
         offsets, (h, w), cfg)
     rows, cols = placement.canvas_shape
     canvas = np.full((rows, cols, 3), -1, np.int16)
-    groups = compose_mod.plan_groups(steps, cfg.fuse_method, rows, cols)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        for kind, rect_shape, idxs, pos, aux, geoms in groups:
-            if kind == "paste":
-                for i, (r, c) in zip(idxs, pos):
-                    canvas[r:r + h, c:c + w] = frames_color[i]
-                continue
-            assert kind == "fusep"
-            bh, bw = rect_shape
-            for i, (r, c), (ar, ac), g in zip(idxs, pos, aux, geoms):
-                roi_a = canvas[ar:ar + bh, ac:ac + bw].astype(np.int32)
-                canvas[r:r + h, c:c + w] = frames_color[i]
-                roi_b = canvas[ar:ar + bh, ac:ac + bw].astype(np.int32)
-                pw = pairwise[i]
-                fused = _fuse_padded_jit(
-                    roi_a, roi_b,
-                    jnp.int32(pw[0]), jnp.int32(pw[1]),
-                    jnp.int32(g[0]), jnp.int32(g[1]),
-                    jnp.int32(g[2]), jnp.int32(g[3]),
-                    bh, bw, cfg.fuse_method, True)
-                canvas[ar:ar + bh, ac:ac + bw] = \
-                    np.asarray(fused).astype(np.int16)
+    for s in steps:
+        kind, i, (r, c) = s[0], s[1], s[2]
+        if kind == "paste":
+            canvas[r:r + h, c:c + w] = frames_color[i]
+            continue
+        (rr0, rc0), (rh, rw) = s[3], s[4]
+        roi_a = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
+        canvas[r:r + h, c:c + w] = frames_color[i]
+        roi_b = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
+        pw = pairwise[i]
+        fused = host_blend.fuse_region_np(roi_a, roi_b, pw[0], pw[1],
+                                          cfg.fuse_method, True)
+        canvas[rr0:rr0 + rh, rc0:rc0 + rw] = fused.astype(np.int16)
     return np.where(canvas == -1, 0, canvas).astype(np.uint8)

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import StitchConfig
 from ..ops import phase_corr, roi
-from ..ops.features import describe, detect, match, vote
+from ..ops.features import describe, detect, match, ransac, vote
 from ..solver import pose_graph as pg
 from .mesh import pad_to_multiple
 
@@ -150,9 +150,19 @@ def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
     # each shard boundary
     ti, ok = match.match_batch(da[:-1], db[1:], va[:-1], vb[1:],
                                search_ratio, max_distance, metric)
+    if vote_method == "ransac":
+        # strip-local fit + margin re-add (the homography translation
+        # column is frame-dependent; see _pool_attempt_jit note)
+        rbs = jnp.take_along_axis(rb[1:], ti, axis=-1)
+        cbs = jnp.take_along_axis(cb[1:], ti, axis=-1)
+        dr, dc, nv, _, sr, sc = ransac.ransac_homography_batch(
+            ra[:-1] - bounds_a[0], ca[:-1] - bounds_a[2],
+            rbs - bounds_b[0], cbs - bounds_b[2], ok)
+        mr, mc = bounds_a[0] - bounds_b[0], bounds_a[2] - bounds_b[2]
+        return dr + mr, dc + mc, nv, sr + mr, sc + mc
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
         ra[:-1], ca[:-1], rb[1:], cb[1:], ti, ok)
-    if vote_method == "ransac":
+    if vote_method == "ransac_translation":
         dr, dc, nv, _ = vote.ransac_translation_batch(d_row, d_col, v)
         return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
     dr, dc, nv, _ = vote.mode_vote_batch(d_row, d_col, v)

@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import StitchConfig, max_roi_scale
 from ..core import feature_registration as freg
 from ..core import registration as reg
-from ..ops.features import detect, match, vote
+from ..ops.features import detect, match, ransac, vote
 from .mesh import pad_to_multiple
 
 
@@ -120,9 +120,17 @@ def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
         ti, ok, rb_sel, cb_sel = match.match_batch_coords(
             da[:-1], db[1:], va[:-1], vb[1:], rb[1:], cb[1:],
             search_ratio, max_distance, metric, use_pallas=False)
+        if vote_method == "ransac":
+            # strip-local fit + margin re-add (see _pool_attempt_jit note)
+            dr, dc, nv, av, sr, sc = ransac.ransac_homography_batch(
+                ra[:-1] - ba[0], ca[:-1] - ba[2],
+                rb_sel - bb[0], cb_sel - bb[2], ok)
+            mr, mc = ba[0] - bb[0], ba[2] - bb[2]
+            out.append((dr + mr, dc + mc, nv, sr + mr, sc + mc, av))
+            continue
         d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
             ra[:-1], ca[:-1], rb_sel, cb_sel, ok)
-        if vote_method == "ransac":
+        if vote_method == "ransac_translation":
             dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
             out.append((dr, dc, nv, dr.astype(jnp.float32),
                         dc.astype(jnp.float32), av))

@@ -1,4 +1,5 @@
-"""Literal NumPy oracle of the reference semantics, used as the behavioral
+"""Literal NumPy oracle of the reference semantics (float64 weights, as
+the reference's np.ones defaults are), used as the behavioral
 spec for unit tests.  Each function re-states the documented algorithm of the
 cited reference lines with plain Python loops (independently written; serves
 to pin the TPU kernels' exact semantics).
@@ -66,8 +67,8 @@ def corner_weights_oracle(image_a, color):
     """getWeightsMatrix (ImageFusion.py:43-190), literal scans."""
     a = np.asarray(image_a)
     row, col = a.shape[:2]
-    wb1 = np.ones(a.shape[:2], np.float32)
-    wb2 = np.ones(a.shape[:2], np.float32)
+    wb1 = np.ones(a.shape[:2], np.float64)
+    wb2 = np.ones(a.shape[:2], np.float64)
     cmp_list = [
         np.count_nonzero(a[0:row // 2, 0:col // 2] > 0),
         np.count_nonzero(a[row // 2:row, 0:col // 2] > 0),
@@ -169,8 +170,8 @@ def corner_weights_oracle(image_a, color):
 def fade_weights_oracle(shape, drow, dcol):
     """Plain fade ramps (ImageFusion.py:213-235)."""
     row, col = shape
-    wa = np.ones(shape, np.float32)
-    wb = np.ones(shape, np.float32)
+    wa = np.ones(shape, np.float64)
+    wb = np.ones(shape, np.float64)
     if col <= row:
         for i in range(col):
             if dcol >= 0:

@@ -1,0 +1,78 @@
+"""Host float64 fusion (ops/fusion/host_blend.py) vs the literal oracle.
+
+host_blend is the reference-exact arithmetic path (float64, as
+ImageFusion.py promotes); the oracle re-states the reference's loops
+literally, so agreement here must be EXACT, not toleranced.
+"""
+import numpy as np
+import pytest
+
+from imagestitch_tpu.ops.fusion import host_blend
+from oracle import corner_weights_oracle, fade_fuse_oracle
+
+
+def _corner_region(rng, kind, shape=(60, 80), color=False):
+    """A region whose valid content sits in one corner (quadrant case)."""
+    h, w = shape
+    full = (h, w, 3) if color else (h, w)
+    a = np.full(full, -1, np.int64)
+    rh, rw = int(h * 0.55), int(w * 0.55)
+    block = rng.integers(1, 255, (rh, rw, 3) if color else (rh, rw), np.int64)
+    if kind == "ul":
+        a[:rh, :rw] = block
+    elif kind == "ur":
+        a[:rh, w - rw:] = block
+    elif kind == "ll":
+        a[h - rh:, :rw] = block
+    else:
+        a[h - rh:, w - rw:] = block
+    return a
+
+
+@pytest.mark.parametrize("kind", ["ul", "ur", "ll", "lr"])
+def test_corner_weights_match_oracle_exact(rng, kind):
+    a = _corner_region(rng, kind)
+    wa, wb = host_blend.corner_fade_weights_np(a, color=False)
+    wa_o, wb_o = corner_weights_oracle(a, color=False)
+    np.testing.assert_array_equal(wb, np.asarray(wb_o, np.float64))
+    np.testing.assert_array_equal(wa, np.asarray(wa_o, np.float64))
+
+
+@pytest.mark.parametrize("color", [False, True])
+@pytest.mark.parametrize("case", ["plain", "corner"])
+def test_fade_fuse_matches_oracle_exact(rng, color, case):
+    shape = (60, 80, 3) if color else (60, 80)
+    if case == "plain":
+        a = rng.integers(1, 255, shape, np.int64)
+        dr, dc = 5, 2
+    else:
+        a = _corner_region(rng, "ul", color=color)
+        dr, dc = -10, 120
+    b = rng.integers(1, 255, shape, np.int64)
+    got = host_blend.fuse_region_np(a.astype(np.int32), b.astype(np.int32),
+                                    dr, dc, "fadeInAndFadeOut", color)
+    expect = fade_fuse_oracle(a, b, dr, dc, color)
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("method", ["average", "maximum", "minimum"])
+def test_simple_fusers_match_device_semantics(rng, method):
+    import jax.numpy as jnp
+    from imagestitch_tpu.ops.fusion import blend
+    a = rng.integers(-1, 255, (40, 50), np.int64).astype(np.int32)
+    b = rng.integers(-1, 255, (40, 50), np.int64).astype(np.int32)
+    got = host_blend.fuse_region_np(a, b, 1, 1, method, False)
+    dev = np.asarray(blend.fuse_region(jnp.asarray(a), jnp.asarray(b),
+                                       1, 1, method, False))
+    np.testing.assert_array_equal(got, dev)
+
+
+def test_trig_matches_device_within_lsb(rng):
+    import jax.numpy as jnp
+    from imagestitch_tpu.ops.fusion import blend
+    a = rng.integers(1, 255, (60, 80), np.int64).astype(np.int32)
+    b = rng.integers(1, 255, (60, 80), np.int64).astype(np.int32)
+    got = host_blend.fuse_region_np(a, b, 5, 2, "trigonometric", False)
+    dev = np.asarray(blend.fuse_region(jnp.asarray(a), jnp.asarray(b),
+                                       5, 2, "trigonometric", False))
+    assert np.abs(got.astype(int) - dev.astype(int)).max() <= 1

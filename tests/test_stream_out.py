@@ -55,15 +55,24 @@ def test_streamed_multiband_gray(rng):
 
 
 @pytest.mark.parametrize("offsets", OFFSET_CASES)
-@pytest.mark.parametrize("fuse", ["fadeInAndFadeOut", "average"])
-def test_color_host_equals_device_compose(rng, offsets, fuse):
+@pytest.mark.parametrize("fuse", ["fadeInAndFadeOut", "average",
+                                  "trigonometric", "maximum"])
+def test_color_host_matches_device_compose(rng, offsets, fuse):
+    """Host f64 color composition vs the device f32 composer: equal up to
+    the documented ±1-LSB f32 rounding divergence on blended pixels (the
+    HOST result is the reference-exact one — ImageFusion.py:241-243
+    promotes through float64)."""
     shape = (120, 160)
     tiles = _tiles(rng, offsets, shape, color=True)
     cfg = StitchConfig(color_mode=True, fuse_method=fuse,
                        registration="phase_incre")
     full = compose(tiles, offsets, cfg)
     host = stream_out.compose_color_host(tiles, offsets, cfg)
-    np.testing.assert_array_equal(host, full)
+    diff = np.abs(host.astype(np.int32) - full.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # the divergence touches only a small fraction of pixels (trig's sin^2
+    # rounds differently in f32 more often than fade's linear ramps)
+    assert (diff != 0).mean() < 5e-2
 
 
 def test_stitcher_stream_output_matches_default():
@@ -83,7 +92,14 @@ def test_stitcher_stream_output_matches_default():
         base = Stitcher(cfg).stitch_files(files)
         streamed = Stitcher(cfg.replace(stream_output=True)).stitch_files(files)
         assert len(base) == len(streamed) == 1
-        np.testing.assert_array_equal(streamed[0].image, base[0].image)
+        if color:
+            # host path is the reference-exact f64; device f32 may differ
+            # by 1 LSB on a tiny blended-pixel fraction
+            diff = np.abs(streamed[0].image.astype(np.int32)
+                          - base[0].image.astype(np.int32))
+            assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
+        else:
+            np.testing.assert_array_equal(streamed[0].image, base[0].image)
 
 
 def test_stitcher_stream_output_feature_incre_gray():
