@@ -3,25 +3,37 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline metric: frames/s on the 89-frame dendritic grid through the
-FLAGSHIP pipeline — incremental-ROI feature registration (the VFSMS core)
-plus full-canvas composition of EVERY stitchable segment with fade fusion —
-measured from a device-resident batch to device-complete panoramas (decode
-excluded, matching the reference's own phase timers at Stitcher.py:80-90).
+Headline metric (round 5 — END-TO-END): frames/s on the 89-frame dendritic
+grid through the FLAGSHIP pipeline, measured from a device-resident batch to
+HOST-MATERIALIZED panoramas: incremental-ROI feature registration (the VFSMS
+core), device fade composition, and the streamed delta readback + host
+assembly (core/stream_out.py).  This is the apples-to-apples accounting
+against the serial CPU baseline, which also ends with host panoramas.
+Decode is excluded from the headline (the reference's own phase timers at
+Stitcher.py:80-90 exclude it); decode-included numbers are published below.
 
-Extra published numbers (bench honesty; VERDICT r1 item 8, r2 items 1/7):
-  * fps_readback_included — same run but timing the device->host readback of
-    every panorama too.  This environment reaches the TPU through an
-    emulation tunnel whose readback tops out at ~10 MB/s (measured), so the
-    number times the tunnel, not the framework; on real hosts PCIe moves the
-    390 MB panorama in <0.1 s.  Published anyway so both accountings exist.
-  * fps_decode_included — end-to-end from JPEG files: the host pipeline
-    (io/prefetch.py) overlaps libjpeg decode of chunk k+1 with device work
-    on chunk k (SURVEY §2.3 PP row).
+Extra published numbers (bench honesty; VERDICT r1 item 8, r2 items 1/7,
+r4 items 1/6):
+  * fps_device_compute — the r1-r4 headline: device-complete panoramas, no
+    readback.  Kept for round-over-round comparability.
+  * fps_full_readback — end with a FULL-panorama readback instead of the
+    rect stream (the non-streamed path).  This environment reaches the TPU
+    through an emulation tunnel whose readback tops out at ~25-33 MB/s
+    (measured), so this times the tunnel; on real hosts PCIe moves the
+    390 MB panorama set in <0.1 s.
+  * fps_decode_included — end-to-end from JPEG files to host panoramas: the
+    host pipeline (io/prefetch.py) overlaps libjpeg decode of chunk k+1
+    with device work on chunk k (SURVEY §2.3 PP row), and the output is
+    streamed.  Bounded by the tunnel's measured ~49 MB/s H2D ceiling
+    (baselines/stream_profile_tpu.json: threading does not raise it).
+  * fps_color_e2e — the reference's ACTUAL dendritic workload (Main.py:6
+    isColorMode=True): gray registration + color composition, ONE fenced
+    end-to-end pass (no phase-sum optimism).  Color composes host-side in
+    the reference's own float64 (ops/fusion/host_blend.py) with zero color
+    bytes crossing the link.
   * time_to_first_result_s — process start to the first complete stitch
     (cold compile + transfer included): the cold-start accounting.
-  * phases — per-phase wall seconds, each fenced by a device readback
-    (decode / h2d / register_pool / register_replay / compose / readback),
+  * phases — per-phase wall seconds, each fenced by a device readback,
     plus dispatch counts.  The reference's analog is its register/fuse
     timer split (Stitcher.py:80-90).
   * utilization — modeled HBM bandwidth achieved by the pooled
@@ -233,14 +245,15 @@ def main():
     from imagestitch_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from imagestitch_tpu import StitchConfig, compose
+    from imagestitch_tpu.core import compose as compose_mod
     from imagestitch_tpu.core import feature_registration as freg
+    from imagestitch_tpu.core import stream_out
     from imagestitch_tpu.io import dataset, prefetch
 
     # fixed backend/tunnel initialization cost: a 1-op probe dispatched
-    # before anything else.  In this environment the axon TPU tunnel takes
-    # ~4-5 min to initialize a fresh process (measured: 262 s and 289 s for
-    # a cached 1-matmul program in two fresh processes) — a cost every jax
-    # program pays here, independent of this framework or its compile cache.
+    # before anything else (tunnel init has measured 0.9 s to 517 s across
+    # fresh processes — a cost every jax program pays here, independent of
+    # this framework or its compile cache).
     import jax.numpy as _jnp
     t0 = time.time()
     np.asarray(jax.jit(lambda: _jnp.zeros((8, 128)).sum())())
@@ -254,18 +267,19 @@ def main():
 
     # ---- cold first stitch = time-to-first-result, on the PRODUCTION
     # ingest (io/prefetch.py: worker decode of chunk k+1 ∥ transfer ∥ pool
-    # compute of chunk k — the same path the --mesh driver uses), so the
-    # cold accounting overlaps decode/H2D with the first compiles.
-    recs0, _gray0, _ = prefetch.register_sequence_pipelined(files, cfg)
-    outs0 = []
+    # compute of chunk k — the same path the --mesh driver uses), ending in
+    # HOST panoramas via the streamed output path (r5: the cold accounting
+    # now covers true end-to-end, not device-complete).
+    recs0, gray0, gray0_host = prefetch.register_sequence_pipelined(
+        files, cfg, keep_host=True)
     for s, e in _segments(recs0, n):
         if e - s < 2:
             continue
         offs = [recs0[k].offset for k in range(s, e - 1)]
-        outs0.append(compose(_gray0[s:e], offs, cfg, return_device=True))
-    _fence(outs0)
+        stream_out.compose_streamed(gray0_host[s:e], offs, cfg,
+                                    frames_dev=gray0[s:e])
     t_first_result = time.time() - _T_PROC0
-    del outs0, _gray0
+    del gray0, gray0_host, recs0
 
     t0 = time.time()
     batch = dataset.load_batch(files, color_mode=False)
@@ -274,9 +288,9 @@ def main():
     h, w = gray_host.shape[1:3]
 
     # ship the dataset to HBM once (the reference re-decodes per pass).
-    # Chunked puts: the emulation tunnel moves one monolithic 445 MB array
-    # at ~2 MB/s but 8-frame (40 MB) chunks at ~35 MB/s (measured r3) —
-    # and chunking is also what the pipelined ingest path does.
+    # Chunked puts: 8-frame (40 MB) chunks reach the tunnel's measured
+    # ~46-50 MB/s ceiling; extra upload threads do NOT raise it
+    # (baselines/stream_profile_tpu.json h2d sweep).
     import jax.numpy as jnp
     t0 = time.time()
     gray = jnp.concatenate([jax.device_put(gray_host[s:s + 8])
@@ -284,13 +298,28 @@ def main():
     _fence(gray)
     t_h2d = time.time() - t0
 
-    # concurrent chunked readback (utils/transfer.py): measured on the
-    # tunnel, two 32 MB row-slice streams read ~2.4x faster than one
     from imagestitch_tpu.utils.transfer import read_back as _read_back
 
-    def stitch_all(read_back: bool) -> float:
+    def register():
+        return freg.register_sequence_features_incre(gray, cfg)
+
+    def stitch_streamed() -> float:
+        """Register + compose + streamed host materialization (headline)."""
         t0 = time.time()
-        recs = freg.register_sequence_features_incre(gray, cfg)
+        recs = register()
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            stream_out.compose_streamed(gray_host[s:e], offs, cfg,
+                                        frames_dev=gray[s:e])
+        return time.time() - t0
+
+    def stitch_device(read_back: bool) -> float:
+        """Register + device-complete compose (r1-r4 accounting); with
+        ``read_back``, the FULL-panorama readback path."""
+        t0 = time.time()
+        recs = register()
         outs = []
         for s, e in _segments(recs, n):
             if e - s < 2:
@@ -306,36 +335,35 @@ def main():
 
     # warm-up the device-resident flagship programs (the cold run above
     # already compiled the shared pool/replay/compose programs)
-    stitch_all(read_back=False)
+    stitch_device(read_back=False)
 
-    times = [stitch_all(read_back=False) for _ in range(3)]
-    fps = n / min(times)
+    fps_dev = n / min(stitch_device(read_back=False) for _ in range(3))
+    fps_stream = n / min(stitch_streamed() for _ in range(2))
+    fps_full_rb = n / stitch_device(read_back=True)
 
-    # decode-included end-to-end, measured BEFORE any panorama readback:
-    # the tunnel keeps draining readbacks after np.asarray returns, and a
-    # decode run issued behind that backlog times the backlog, not the
-    # pipeline (r4: 38.7 s polluted vs 11.1 s clean)
+    # decode-included end-to-end (streamed output), measured BEFORE the
+    # full-readback backlog pollutes the tunnel queue
     def stitch_from_files() -> float:
         t0 = time.time()
-        recs, gray_dev, _ = prefetch.register_sequence_pipelined(files, cfg)
-        outs = []
+        recs, gray_dev, g_host = prefetch.register_sequence_pipelined(
+            files, cfg, keep_host=True)
         for s, e in _segments(recs, n):
             if e - s < 2:
                 continue
             offs = [recs[k].offset for k in range(s, e - 1)]
-            outs.append(compose(gray_dev[s:e], offs, cfg, return_device=True))
-        _fence(outs)
+            stream_out.compose_streamed(g_host[s:e], offs, cfg,
+                                        frames_dev=gray_dev[s:e])
         return time.time() - t0
 
-    t_dec = min(stitch_from_files() for _ in range(2))
-    fps_dec = n / t_dec
+    fps_dec = n / min(stitch_from_files() for _ in range(2))
 
     # ---- warm per-phase decomposition (device-fenced; min of 2 passes:
     # a single fenced pass can catch a tunnel hiccup worth seconds) ----
     fast = cfg.features.auto_upright and not cfg.features.upright
     cfg_pool = cfg.replace(features=dataclasses.replace(
         cfg.features, upright=True)) if fast else cfg
-    t_pool = t_replay = t_fallback = t_compose = t_readback = float("inf")
+    t_pool = t_replay = t_fallback = t_compose = float("inf")
+    t_rects = t_paste = float("inf")
     for _ in range(2):
         t0 = time.time()
         pool = _fence(freg._precompute_pool(gray, cfg_pool))
@@ -348,51 +376,61 @@ def main():
         if fast and any(not r.ok for r in recs):
             recs = freg._oriented_fallback_incre(gray, recs, cfg, (h, w))
         t_fallback = min(t_fallback, time.time() - t0)
+        # device compose
         outs = []
         t0 = time.time()
+        seg_plans = []
         for s, e in _segments(recs, n):
             if e - s < 2:
-                outs.append(gray[s:e][0])
                 continue
             offs = [recs[k].offset for k in range(s, e - 1)]
+            placement, steps, _ = compose_mod.plan_compose(offs, (h, w), cfg)
+            seg_plans.append((s, e, offs, placement, steps))
             outs.append(compose(gray[s:e], offs, cfg, return_device=True))
         _fence(outs)
         t_compose = min(t_compose, time.time() - t0)
+        # rect extraction + stream readback
         t0 = time.time()
-        for o in outs:
-            _read_back(o)
-        t_readback = min(t_readback, time.time() - t0)
+        streams = []
+        for (s, e, offs, placement, steps), pano in zip(seg_plans, outs):
+            rects = stream_out.fuse_rects_of_steps(steps)
+            streams.append(_read_back(
+                stream_out._extract_rects_flat(pano, rects)))
+        t_rects = min(t_rects, time.time() - t0)
+        # host paste + patch
+        t0 = time.time()
+        for (s, e, offs, placement, steps), st in zip(seg_plans, streams):
+            canvas = stream_out.paste_all_host(gray_host[s:e], placement,
+                                               steps)
+            stream_out.patch_rects_host(canvas, steps, st)
+        t_paste = min(t_paste, time.time() - t0)
 
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
     match_fl = _match_flops(replay_stats)
 
-    # ---- COLOR composition variant: the reference's dendritic driver
-    # composes in color (Main.py isColorMode=True; registration is always
-    # grayscale, Stitcher.py:68-69) — publish that workload too ----
-    cfg_color = cfg.replace(color_mode=True)
+    # ---- COLOR end-to-end: the reference's dendritic workload (Main.py
+    # isColorMode=True: register gray, compose color) in ONE fenced pass —
+    # device gray registration + host float64 color composition with zero
+    # color link bytes (core/stream_out.compose_color_host).  Color decode
+    # is timed separately (the reference re-decodes color at composition,
+    # Stitcher.py:381-384).
+    t0 = time.time()
     batch_c = dataset.load_batch(files, color_mode=True)
-    color_dev = jnp.concatenate([jax.device_put(batch_c.color[s:s + 4])
-                                 for s in range(0, n, 4)])
-    _fence(color_dev)
-    del batch_c
-    t_color = float("inf")
+    t_decode_color = time.time() - t0
+    cfg_color = cfg.replace(color_mode=True)
+    t_color_e2e = float("inf")
     for _ in range(2):
-        outs_c = []
         t0 = time.time()
-        for s, e in _segments(recs, n):
+        recs_c = register()
+        for s, e in _segments(recs_c, n):
             if e - s < 2:
-                outs_c.append(color_dev[s:e][0])
                 continue
-            offs = [recs[k].offset for k in range(s, e - 1)]
-            outs_c.append(compose(color_dev[s:e], offs, cfg_color,
-                                  return_device=True))
-        _fence(outs_c)
-        t_color = min(t_color, time.time() - t0)
-    del outs_c, color_dev
-    fps_color = n / (t_pool + t_replay + t_fallback + t_color)
-
-    t_rb = stitch_all(read_back=True)
-    fps_rb = n / t_rb
+            offs = [recs_c[k].offset for k in range(s, e - 1)]
+            stream_out.compose_color_host(batch_c.color[s:e], offs,
+                                          cfg_color)
+        t_color_e2e = min(t_color_e2e, time.time() - t0)
+    fps_color = n / t_color_e2e
+    del batch_c
 
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
     key = "dendritic_feature_fade_s_full"
@@ -409,36 +447,38 @@ def main():
     base_fps = base["n_frames"] / base[key]
 
     print(json.dumps({
-        "metric": "dendritic 89-frame flagship stitch, all segments "
-                  "(feature reg + fade compose)",
-        "value": round(fps, 3),
+        "metric": "dendritic 89-frame flagship stitch, all segments, "
+                  "END-TO-END to host panoramas (feature reg + fade "
+                  "compose + streamed output)",
+        "value": round(fps_stream, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / base_fps, 3),
-        "fps_readback_included": round(fps_rb, 3),
+        "vs_baseline": round(fps_stream / base_fps, 3),
+        # r1-r4 headline (device-complete, no readback) for continuity
+        "fps_device_compute": round(fps_dev, 3),
+        # non-streamed path: full-panorama readback (times the tunnel)
+        "fps_full_readback": round(fps_full_rb, 3),
         "fps_decode_included": round(fps_dec, 3),
-        # the reference's own dendritic workload composes in COLOR
-        # (register gray + fuse color); device-resident accounting
-        "fps_color_compose": round(fps_color, 3),
+        # the reference's own dendritic workload: register gray, compose
+        # COLOR — one fenced end-to-end pass, host f64 composition
+        "fps_color_e2e": round(fps_color, 3),
         "time_to_first_result_s": round(t_first_result, 1),
-        # methodology (r3 change, noted per advisor): the cold path is the
-        # PRODUCTION pipelined ingest (decode ∥ H2D ∥ pool compute), which
-        # also absorbs the shared-program compiles — not the r1/r2 separate
-        # monolithic cold stitch; round-over-round cold numbers compare
-        # only within this definition.
-        "cold_path": "pipelined_ingest_first_stitch",
+        "cold_path": "pipelined_ingest_first_stitch_streamed",
         "backend_init_s": round(backend_init_s, 1),
         "cold_start_minus_backend_init_s": round(
             t_first_result - backend_init_s, 1),
         "cpu_baseline_fps": round(base_fps, 4),
         "phases": {
             "decode_s": round(t_decode, 3),
+            "decode_color_s": round(t_decode_color, 3),
             "h2d_s": round(t_h2d, 3),
             "register_pool_s": round(t_pool, 3),
             "register_replay_s": round(t_replay, 3),
             "register_fallback_s": round(t_fallback, 3),
             "compose_s": round(t_compose, 3),
-            "color_compose_s": round(t_color, 3),
-            "readback_s": round(t_readback, 3),
+            "rect_stream_s": round(t_rects, 3),
+            "host_assemble_s": round(t_paste, 3),
+            "color_host_compose_s": round(t_color_e2e - t_pool - t_replay
+                                          - t_fallback, 3),
             "replay_dispatches": replay_stats.get("dispatches"),
             "replay_attempts_matched": replay_stats.get("attempts_matched"),
         },
@@ -446,9 +486,6 @@ def main():
             "pool_modeled_gb": round(pool_bytes / 1e9, 2),
             "pool_gbps": round(pool_bytes / t_pool / 1e9, 1),
             "pool_hbm_util": round(pool_bytes / t_pool / PEAK_HBM_BPS, 3),
-            # the fused pool's bottleneck moved from HBM gathers to the DoH
-            # conv FLOPs (selection/subpixel never leave VMEM) — so the
-            # meaningful roofline is now VPU compute, not bandwidth
             "pool_conv_modeled_gflop": round(
                 _pool_flops_model(n, h, w, cfg_pool) / 1e9, 1),
             "pool_conv_gflops": round(

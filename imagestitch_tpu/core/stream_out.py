@@ -92,9 +92,8 @@ def _paste_host(canvas: np.ndarray, img: np.ndarray, r: int, c: int) -> None:
         canvas[r:r + h, c:c + w] = img
 
 
-def assemble_host(frames: np.ndarray, placement, steps,
-                  rect_stream: np.ndarray) -> np.ndarray:
-    """Paste frames in placement order, then patch in the streamed rects."""
+def paste_all_host(frames: np.ndarray, placement, steps) -> np.ndarray:
+    """Replay the paste sequence on a zeroed host canvas."""
     rows, cols = placement.canvas_shape
     ch = frames.shape[3] if frames.ndim == 4 else 1
     shape = (rows, cols, ch) if frames.ndim == 4 else (rows, cols)
@@ -102,6 +101,13 @@ def assemble_host(frames: np.ndarray, placement, steps,
     for s in steps:
         i, (r, c) = s[1], s[2]
         _paste_host(canvas, frames[i], r, c)
+    return canvas
+
+
+def patch_rects_host(canvas: np.ndarray, steps, rect_stream: np.ndarray
+                     ) -> np.ndarray:
+    """Write the streamed fused-rect contents into the pasted canvas."""
+    ch = canvas.shape[2] if canvas.ndim == 3 else 1
     off = 0
     for rr, rc, rh, rw in fuse_rects_of_steps(steps):
         size = rh * rw * ch
@@ -110,6 +116,13 @@ def assemble_host(frames: np.ndarray, placement, steps,
                                                 else (rh, rw))
         off += size
     return canvas
+
+
+def assemble_host(frames: np.ndarray, placement, steps,
+                  rect_stream: np.ndarray) -> np.ndarray:
+    """Paste frames in placement order, then patch in the streamed rects."""
+    return patch_rects_host(paste_all_host(frames, placement, steps),
+                            steps, rect_stream)
 
 
 def compose_streamed(frames_host: np.ndarray,
@@ -125,14 +138,22 @@ def compose_streamed(frames_host: np.ndarray,
     Returns the host uint8 panorama; with ``return_device`` also the
     HBM-resident canvas.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..utils.transfer import read_back
     h, w = frames_host.shape[1], frames_host.shape[2]
     placement, steps, _ = compose_mod.plan_compose(offsets, (h, w), cfg)
     src = frames_dev if frames_dev is not None else frames_host
     pano_dev = compose_mod.compose(src, offsets, cfg, return_device=True)
     rects = fuse_rects_of_steps(steps)
-    stream = read_back(_extract_rects_flat(pano_dev, rects))
-    out = assemble_host(frames_host, placement, steps, stream)
+    flat = _extract_rects_flat(pano_dev, rects)
+    # the host paste replay touches only host memory — run it concurrently
+    # with the rect-stream D2H readback
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        paste_fut = ex.submit(paste_all_host, frames_host, placement, steps)
+        stream = read_back(flat)
+        canvas = paste_fut.result()
+    out = patch_rects_host(canvas, steps, stream)
     if return_device:
         return out, pano_dev
     return out

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import StitchConfig
@@ -115,20 +116,15 @@ def register_pairs_sharded_whole(a: jnp.ndarray, b: jnp.ndarray):
     return _register_pairs_whole_jit(a, b, hp, wp)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "max_kp", "k_sel", "dparams", "sparams", "metric", "bounds_a",
-    "bounds_b", "vote_method"))
-def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
-                       dparams, sparams, metric: str,
-                       search_ratio: float, max_distance: float,
-                       bounds_a, bounds_b, vote_method: str):
-    """Full feature registration step over a frame-sharded (N, H, W) batch.
-
-    One (direction, scale) strip attempt for every adjacent pair: pooled
-    per-frame detect+describe (frame-parallel, no comm), strip-masked top-k
-    per side, MXU matching, mode/ransac vote.  Returns per-pair
-    (drow, dcol, votes, subpix_row, subpix_col), each (N-1,).
-    """
+def _feature_pairs_body(images, max_kp: int, k_sel: int, dparams, sparams,
+                        metric: str, search_ratio, max_distance,
+                        bounds_a, bounds_b, vote_method: str, halo):
+    """Per-block feature attempt math shared by the single-device jit and
+    the shard_map step.  ``halo(tuple)`` maps the local B-side feature
+    tuple to the one aligned so pair k = A[k] vs B[k+1] (identity slicing
+    single-device; ppermute boundary exchange on a mesh — in that case the
+    result keeps the local length and trailing entries are wraparound junk
+    the caller drops)."""
     rows, cols, scores, descs = jax.vmap(
         lambda im: detect.detect_describe_image(im, max_kp, dparams,
                                                 sparams))(images)
@@ -145,31 +141,86 @@ def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
 
     ra, ca, va, da = side(bounds_a)
     rb, cb, vb, db = side(bounds_b)
-    # adjacent pairs: frame k's A strip vs frame k+1's B strip — slicing a
-    # frame-sharded axis makes XLA exchange exactly one frame's features at
-    # each shard boundary
-    ti, ok = match.match_batch(da[:-1], db[1:], va[:-1], vb[1:],
+    rbn, cbn, vbn, dbn = halo((rb, cb, vb, db))
+    n_a = rbn.shape[0]
+    ra, ca, va, da = ra[:n_a], ca[:n_a], va[:n_a], da[:n_a]
+    ti, ok = match.match_batch(da, dbn, va, vbn,
                                search_ratio, max_distance, metric)
     if vote_method == "ransac":
         # strip-local fit + margin re-add (the homography translation
         # column is frame-dependent; see _pool_attempt_jit note)
-        rbs = jnp.take_along_axis(rb[1:], ti, axis=-1)
-        cbs = jnp.take_along_axis(cb[1:], ti, axis=-1)
+        rbs = jnp.take_along_axis(rbn, ti, axis=-1)
+        cbs = jnp.take_along_axis(cbn, ti, axis=-1)
         dr, dc, nv, _, sr, sc = ransac.ransac_homography_batch(
-            ra[:-1] - bounds_a[0], ca[:-1] - bounds_a[2],
+            ra - bounds_a[0], ca - bounds_a[2],
             rbs - bounds_b[0], cbs - bounds_b[2], ok)
         mr, mc = bounds_a[0] - bounds_b[0], bounds_a[2] - bounds_b[2]
         return dr + mr, dc + mc, nv, sr + mr, sc + mc
     d_row, d_col, v = jax.vmap(vote.displacement_from_matches)(
-        ra[:-1], ca[:-1], rb[1:], cb[1:], ti, ok)
+        ra, ca, rbn, cbn, ti, ok)
     if vote_method == "ransac_translation":
         dr, dc, nv, _ = vote.ransac_translation_batch(d_row, d_col, v)
         return dr, dc, nv, dr.astype(jnp.float32), dc.astype(jnp.float32)
     dr, dc, nv, _ = vote.mode_vote_batch(d_row, d_col, v)
     drf, dcf = jax.vmap(vote.displacement_from_matches_f)(
-        ra[:-1], ca[:-1], rb[1:], cb[1:], ti)
+        ra, ca, rbn, cbn, ti)
     sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
     return dr, dc, nv, sr, sc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_kp", "k_sel", "dparams", "sparams", "metric", "bounds_a",
+    "bounds_b", "vote_method"))
+def _feature_pairs_jit(images: jnp.ndarray, max_kp: int, k_sel: int,
+                       dparams, sparams, metric: str,
+                       search_ratio: float, max_distance: float,
+                       bounds_a, bounds_b, vote_method: str):
+    """Single-device feature registration step over an (N, H, W) batch.
+
+    One (direction, scale) strip attempt for every adjacent pair: pooled
+    per-frame detect+describe, strip-masked top-k per side, MXU matching,
+    mode/ransac vote.  Returns per-pair (drow, dcol, votes, subpix_row,
+    subpix_col), each (N-1,)."""
+    halo = lambda t: tuple(x[1:] for x in t)
+    return _feature_pairs_body(images, max_kp, k_sel, dparams, sparams,
+                               metric, search_ratio, max_distance,
+                               bounds_a, bounds_b, vote_method, halo)
+
+
+@functools.lru_cache(maxsize=64)
+def _feature_pairs_sharded_fn(mesh: Mesh, max_kp: int, k_sel: int,
+                              dparams, sparams, metric: str,
+                              bounds_a, bounds_b, vote_method: str):
+    """Explicit-halo shard_map feature step over a frame-sharded batch.
+
+    Detection and strip top-k run frame-parallel with zero communication;
+    ONE ``ppermute`` then ships each shard's first frame's selected B-side
+    features to its predecessor, and matching/voting run on local pairs.
+    (r5: the auto-sharded adjacent-slice formulation compiled to full-pool
+    all-gathers — 33-127x the modeled halo; eval/hlo_validation.py.)
+    Outputs are (N_pad,); entries at k >= N-1 are padding/wraparound junk.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    perm = [(i, (i - 1) % d) for i in range(d)]
+
+    def local(images, search_ratio, max_distance):
+        def halo(t):
+            if d > 1:
+                h = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x[:1], axis, perm), t)
+            else:
+                h = tuple(x[:1] for x in t)
+            return tuple(jnp.concatenate([x[1:], hx], axis=0)
+                         for x, hx in zip(t, h))
+
+        return _feature_pairs_body(images, max_kp, k_sel, dparams, sparams,
+                                   metric, search_ratio, max_distance,
+                                   bounds_a, bounds_b, vote_method, halo)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(axis), P(), P()),
+                             out_specs=P(axis), check_vma=False))
 
 
 def _feature_call_args(images: np.ndarray, mesh: Optional[Mesh],
@@ -209,8 +260,20 @@ def register_pairs_sharded_features(images: np.ndarray, mesh: Optional[Mesh],
     (N-1,), full-image offsets (pooled-path semantics: margin pre-cancelled).
     """
     n, args = _feature_call_args(images, mesh, cfg, direction, ratio)
-    out = _feature_pairs_jit(*args)
+    out = _feature_step_dispatch(mesh, args)
     return tuple(np.asarray(x)[:n - 1] for x in out)
+
+
+def _feature_step_dispatch(mesh: Optional[Mesh], args):
+    """Route a prepared feature-step call: explicit-halo shard_map on a
+    real mesh, the plain jit single-device."""
+    (imgs, max_kp, k_sel, dparams, sparams, metric, search_ratio,
+     max_distance, ba, bb, vm) = args
+    if mesh is not None and mesh.devices.size > 1:
+        fn = _feature_pairs_sharded_fn(mesh, max_kp, k_sel, dparams,
+                                       sparams, metric, ba, bb, vm)
+        return fn(imgs, jnp.float32(search_ratio), jnp.float32(max_distance))
+    return _feature_pairs_jit(*args)
 
 
 def feature_step_collectives(images: np.ndarray, mesh: Optional[Mesh],
@@ -221,6 +284,13 @@ def feature_step_collectives(images: np.ndarray, mesh: Optional[Mesh],
     item 4: the feature sweep published ``collectives: null``)."""
     from ..utils import hlo
     _, args = _feature_call_args(images, mesh, cfg, direction, ratio)
+    (imgs, max_kp, k_sel, dparams, sparams, metric, search_ratio,
+     max_distance, ba, bb, vm) = args
+    if mesh is not None and mesh.devices.size > 1:
+        fn = _feature_pairs_sharded_fn(mesh, max_kp, k_sel, dparams,
+                                       sparams, metric, ba, bb, vm)
+        return hlo.count_collectives(fn, imgs, jnp.float32(search_ratio),
+                                     jnp.float32(max_distance))
     return hlo.count_collectives(_feature_pairs_jit, *args)
 
 

@@ -87,60 +87,101 @@ def shard_frames(images: np.ndarray, mesh: Mesh):
     return jax.device_put(imgs, shard), n
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "bounds_list", "k_sel", "metric", "vote_method"))
+@functools.lru_cache(maxsize=256)
+def _attempt_all_pairs_fn(mesh: Mesh, bounds_list, k_sel: int, metric: str,
+                          vote_method: str):
+    """Evaluate (direction, scale) configurations for ALL adjacent pairs —
+    explicit-halo shard_map step.
+
+    rows/cols/scores: (N_pad, P); descs: (N_pad, P, D) — frame-sharded.
+    Per config: strip-mask + top-k frame-parallel (zero communication),
+    then ONE ``ppermute`` ships each shard's FIRST frame's selected B-side
+    features (k_sel x (D+3) floats) to its predecessor so every device
+    matches its local adjacent pairs without touching the rest of the pool.
+
+    r5 note (the reason this is shard_map, not auto-sharding): the HLO
+    validator (eval/hlo_validation.py) showed the previous auto-sharded
+    ``feats[:-1]`` / ``feats[1:]`` formulation compiled to FULL-pool
+    all-gathers — 33x (d=2) to 127x (d=8) the one-frame-halo bytes the ICI
+    model assumes.  The explicit halo makes the compiled collective exactly
+    the modeled one.
+
+    Returns [(drow, dcol, votes, sub_r, sub_c, any_valid)] per config,
+    each (N_pad,) with pair k = frames (k, k+1); entries at k >= N-1 are
+    padding/wraparound junk the host replay never reads.
+    """
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    perm = [(i, (i - 1) % d) for i in range(d)]   # send row-0 to predecessor
+
+    def local(rows, cols, scores, descs, search_ratio, max_distance):
+        out = []
+        for ba, bb in bounds_list:
+            def side(bounds):
+                r0, r1, c0, c1 = bounds
+                m = ((scores > 0) & (rows >= r0) & (rows < r1)
+                     & (cols >= c0) & (cols < c1))
+                sel = jnp.where(m, scores, -1.0)
+                top_s, top_i = jax.lax.top_k(sel, k_sel)
+                take = lambda x: jnp.take_along_axis(x, top_i, axis=-1)
+                return (take(rows), take(cols), top_s > 0,
+                        jnp.take_along_axis(descs, top_i[..., None], axis=-2))
+
+            ra, ca, va, da = side(ba)
+            rb, cb, vb, db = side(bb)
+            if d > 1:
+                halo = jax.tree.map(
+                    lambda x: jax.lax.ppermute(x[:1], axis, perm),
+                    (rb, cb, vb, db))
+            else:
+                halo = (rb[:1], cb[:1], vb[:1], db[:1])
+            shift = lambda loc, h: jnp.concatenate([loc[1:], h], axis=0)
+            rbn, cbn, vbn, dbn = (shift(x, h) for x, h in
+                                  zip((rb, cb, vb, db), halo))
+            # use_pallas stays False: inside shard_map a per-device Pallas
+            # call would be legal on TPU, but the virtual CPU mesh runs
+            # interpret-mode too slowly; the XLA matcher path is fine here
+            ti, ok, rb_sel, cb_sel = match.match_batch_coords(
+                da, dbn, va, vbn, rbn, cbn,
+                search_ratio, max_distance, metric, use_pallas=False)
+            if vote_method == "ransac":
+                # strip-local fit + margin re-add (_pool_attempt_jit note)
+                dr, dc, nv, av, sr, sc = ransac.ransac_homography_batch(
+                    ra - ba[0], ca - ba[2],
+                    rb_sel - bb[0], cb_sel - bb[2], ok)
+                mr, mc = ba[0] - bb[0], ba[2] - bb[2]
+                out.append((dr + mr, dc + mc, nv, sr + mr, sc + mc, av))
+                continue
+            d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
+                ra, ca, rb_sel, cb_sel, ok)
+            if vote_method == "ransac_translation":
+                dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
+                out.append((dr, dc, nv, dr.astype(jnp.float32),
+                            dc.astype(jnp.float32), av))
+                continue
+            dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
+            drf = ra - rb_sel
+            dcf = ca - cb_sel
+            sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v,
+                                                dr, dc)
+            out.append((dr, dc, nv, sr, sc, av))
+        return tuple(out)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis), check_vma=False))
+
+
 def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
                            k_sel: int, metric: str, search_ratio: float,
-                           max_distance: float, vote_method: str):
-    """Evaluate (direction, scale) configurations for ALL adjacent pairs.
-
-    rows/cols/scores: (N, P); descs: (N, P, D) — frame-sharded.  Per config:
-    strip-mask + top-k frame-parallel, adjacent-slice halo, MXU match,
-    mode/ransac vote.  Returns [(drow, dcol, votes, sub_r, sub_c)] per
-    config, each (N-1,).
-    """
-    out = []
-    for ba, bb in bounds_list:
-        def side(bounds):
-            r0, r1, c0, c1 = bounds
-            m = ((scores > 0) & (rows >= r0) & (rows < r1)
-                 & (cols >= c0) & (cols < c1))
-            sel = jnp.where(m, scores, -1.0)
-            top_s, top_i = jax.lax.top_k(sel, k_sel)
-            take = lambda x: jnp.take_along_axis(x, top_i, axis=-1)
-            return (take(rows), take(cols), top_s > 0,
-                    jnp.take_along_axis(descs, top_i[..., None], axis=-2))
-
-        ra, ca, va, da = side(ba)
-        rb, cb, vb, db = side(bb)
-        # use_pallas stays False here: this jit is AUTO-sharded (not
-        # shard_map), and a Pallas custom call does not SPMD-partition —
-        # the XLA matcher path partitions fine and the coords variant
-        # still avoids the per-match gathers on the replicated fallback
-        ti, ok, rb_sel, cb_sel = match.match_batch_coords(
-            da[:-1], db[1:], va[:-1], vb[1:], rb[1:], cb[1:],
-            search_ratio, max_distance, metric, use_pallas=False)
-        if vote_method == "ransac":
-            # strip-local fit + margin re-add (see _pool_attempt_jit note)
-            dr, dc, nv, av, sr, sc = ransac.ransac_homography_batch(
-                ra[:-1] - ba[0], ca[:-1] - ba[2],
-                rb_sel - bb[0], cb_sel - bb[2], ok)
-            mr, mc = ba[0] - bb[0], ba[2] - bb[2]
-            out.append((dr + mr, dc + mc, nv, sr + mr, sc + mc, av))
-            continue
-        d_row, d_col, v = jax.vmap(vote.displacement_from_coords)(
-            ra[:-1], ca[:-1], rb_sel, cb_sel, ok)
-        if vote_method == "ransac_translation":
-            dr, dc, nv, av = vote.ransac_translation_batch(d_row, d_col, v)
-            out.append((dr, dc, nv, dr.astype(jnp.float32),
-                        dc.astype(jnp.float32), av))
-            continue
-        dr, dc, nv, av = vote.mode_vote_batch(d_row, d_col, v)
-        drf = ra[:-1] - rb_sel
-        dcf = ca[:-1] - cb_sel
-        sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v, dr, dc)
-        out.append((dr, dc, nv, sr, sc, av))
-    return out
+                           max_distance: float, vote_method: str,
+                           mesh: Mesh = None):
+    """Dispatch wrapper: shard_map explicit-halo step (see
+    _attempt_all_pairs_fn).  ``mesh`` required; results are (N_pad,)."""
+    fn = _attempt_all_pairs_fn(mesh, bounds_list, k_sel, metric, vote_method)
+    return fn(rows, cols, scores, descs,
+              jnp.float32(search_ratio), jnp.float32(max_distance))
 
 
 class ShardedPooledCache:
@@ -148,11 +189,13 @@ class ShardedPooledCache:
 
     _SMALL = 16   # <= this many unresolved pairs: speculate all configs
 
-    def __init__(self, pool, cfg: StitchConfig, h: int, w: int, metric: str):
+    def __init__(self, pool, cfg: StitchConfig, h: int, w: int, metric: str,
+                 mesh: Mesh = None):
         self._pool = pool
         self._cfg = cfg
         self._hw = (h, w)
         self._metric = metric
+        self._mesh = mesh
         self._store: Dict[Tuple[int, int], Dict[int, Dict[str, float]]] = {}
         self.dispatches = 0
         self.attempts_matched = 0
@@ -184,7 +227,8 @@ class ShardedPooledCache:
                 *self._pool, bounds,
                 freg._capacity(cfg, cfg.features.max_keypoints),
                 self._metric, cfg.features.search_ratio,
-                freg._effective_max_distance(cfg), cfg.offset_calculate)
+                freg._effective_max_distance(cfg), cfg.offset_calculate,
+                mesh=self._mesh)
             self.dispatches += 1
             n_pairs = int(np.asarray(results[0][2]).shape[0])
             self.attempts_matched += n_pairs * len(configs)
@@ -220,7 +264,7 @@ def register_sequence_features_incre_sharded(
         cfg.features, upright=True)) if fast else cfg
     pool = pool_features_sharded(images_dev, mesh, cfg_pool)
     _, _, metric = freg._families(cfg_pool)
-    cache = ShardedPooledCache(pool, cfg_pool, h, w, metric)
+    cache = ShardedPooledCache(pool, cfg_pool, h, w, metric, mesh=mesh)
     recs = reg._replay_incremental(
         n - 1, cfg_pool, cache, freg._pool_accept(cfg_pool),
         freg._pool_extract, (h, w), offsets_are_full=True)
@@ -253,7 +297,7 @@ def register_sequence_features_sharded(images: np.ndarray, cfg: StitchConfig,
     bounds = ((0, h, 0, w), (0, h, 0, w))
     (res,) = _attempt_all_pairs_jit(
         *pool, (bounds,), max_kp, metric, cfg.features.search_ratio,
-        freg._effective_max_distance(cfg), cfg.offset_calculate)
+        freg._effective_max_distance(cfg), cfg.offset_calculate, mesh=mesh)
     dr, dc, nv, sr, sc, av = (np.asarray(x) for x in res)
     out: List[reg.PairRegistration] = []
     for k in range(n - 1):

@@ -135,7 +135,6 @@ def solve(graph: PoseGraph, iters: Optional[int] = None,
                           jnp.asarray(graph.weights), n, iters)
         return np.asarray(x - x[0:1])
 
-    axis = mesh.axis_names[0]
     d = mesh.devices.size
     e_pad = pad_to_multiple(max(len(graph.edges_a), d), d)
     pad = e_pad - len(graph.edges_a)
@@ -143,6 +142,15 @@ def solve(graph: PoseGraph, iters: Optional[int] = None,
     eb = np.pad(graph.edges_b, (0, pad))
     m = np.pad(graph.measurements, ((0, pad), (0, 0)))
     w = np.pad(graph.weights, (0, pad))       # zero weight disables padding
+
+    x = sharded_solve_fn(mesh, n, iters)(ea, eb, m, w)
+    return np.asarray(x - x[0:1])
+
+
+def sharded_solve_fn(mesh: Mesh, n: int, iters: int):
+    """The edge-sharded CG solve as a jitted callable (exposed separately
+    so the HLO validator can lower it; eval/hlo_validation.py)."""
+    axis = mesh.axis_names[0]
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -158,8 +166,7 @@ def solve(graph: PoseGraph, iters: Optional[int] = None,
 
         return _cg(matvec, b, iters)
 
-    x = jax.jit(sharded_solve)(ea, eb, m, w)
-    return np.asarray(x - x[0:1])
+    return jax.jit(sharded_solve)
 
 
 def chain_positions(offsets: Sequence[Tuple[float, float]]) -> np.ndarray:
