@@ -389,20 +389,22 @@ def main():
             outs.append(compose(gray[s:e], offs, cfg, return_device=True))
         _fence(outs)
         t_compose = min(t_compose, time.time() - t0)
-        # rect extraction + stream readback
+        # visible-piece extraction + stream readback
         t0 = time.time()
         streams = []
         for (s, e, offs, placement, steps), pano in zip(seg_plans, outs):
-            rects = stream_out.fuse_rects_of_steps(steps)
-            streams.append(_read_back(
-                stream_out._extract_rects_flat(pano, rects)))
+            rects = stream_out.visible_rect_pieces(steps, (h, w))
+            streams.append((rects, _read_back(
+                stream_out._extract_rects_flat(pano, rects))))
         t_rects = min(t_rects, time.time() - t0)
+        stream_mb = sum(st.nbytes for _, st in streams) / 1e6
         # host paste + patch
         t0 = time.time()
-        for (s, e, offs, placement, steps), st in zip(seg_plans, streams):
+        for (s, e, offs, placement, steps), (rects, st) in zip(seg_plans,
+                                                               streams):
             canvas = stream_out.paste_all_host(gray_host[s:e], placement,
                                                steps)
-            stream_out.patch_rects_host(canvas, steps, st)
+            stream_out.patch_rects_host(canvas, rects, st)
         t_paste = min(t_paste, time.time() - t0)
 
     pool_bytes = _pool_bytes_model(n, h, w, cfg_pool)
@@ -476,6 +478,7 @@ def main():
             "register_fallback_s": round(t_fallback, 3),
             "compose_s": round(t_compose, 3),
             "rect_stream_s": round(t_rects, 3),
+            "rect_stream_mb": round(stream_mb, 1),
             "host_assemble_s": round(t_paste, 3),
             "color_host_compose_s": round(t_color_e2e - t_pool - t_replay
                                           - t_fallback, 3),

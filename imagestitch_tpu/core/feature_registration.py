@@ -486,14 +486,22 @@ def _pool_attempt_multi_jit(rows, cols, scores, descs, idx: jnp.ndarray,
 
     A tunnel/PCIe dispatch costs far more than the masked-pool matmuls, and
     after a direction turn the replay probes several directions — computing
-    them up front turns N round trips into 1.
+    them up front turns N round trips into 1.  Results come back PACKED as
+    one (n_configs, 6, P) float32 array: the replay reads host scalars, and
+    fetching 6 small arrays per config cost ~15 ms of link latency EACH
+    through the tunnel (r5 measurement: the fallback's 12-config sweep
+    spent ~1.3 s on 72 tiny readbacks).  Rows: drow, dcol, votes, sub_r,
+    sub_c, any_valid (all values exact in f32: offsets < 2^12).
     """
     out = []
     for ba, bb in bounds_list:
-        out.append(_pool_attempt_jit(rows, cols, scores, descs, idx, ba, bb,
-                                     k_sel, metric, search_ratio,
-                                     max_distance, vote_method, use_pallas))
-    return out
+        dr, dc, nv, sr, sc, av = _pool_attempt_jit(
+            rows, cols, scores, descs, idx, ba, bb, k_sel, metric,
+            search_ratio, max_distance, vote_method, use_pallas)
+        out.append(jnp.stack([dr.astype(jnp.float32), dc.astype(jnp.float32),
+                              nv.astype(jnp.float32), sr, sc,
+                              av.astype(jnp.float32)]))
+    return jnp.stack(out)
 
 
 class _PooledCache:
@@ -549,25 +557,26 @@ class _PooledCache:
                 (_strip_bounds(d, "first", s * ratio, h, w),
                  _strip_bounds(d, "second", s * ratio, h, w))
                 for d, s in configs)
-            results = _pool_attempt_multi_jit(
+            results = np.asarray(_pool_attempt_multi_jit(
                 *self._pool, jnp.asarray(idx_p), bounds,
                 _capacity(cfg, cfg.features.max_keypoints), self._metric,
                 cfg.features.search_ratio,
                 _effective_max_distance(cfg), cfg.offset_calculate,
-                cfg.use_pallas and jax.default_backend() == "tpu")
+                cfg.use_pallas and jax.default_backend() == "tpu"))
             self.dispatches += 1
             self.attempts_matched += len(idx_p) * len(configs)
-            for (d, s), (dr, dc, nv, sr, sc, av) in zip(configs, results):
+            for (d, s), pk in zip(configs, results):
                 dstore = self._store.setdefault((d, s), {})
-                nv = np.asarray(nv)[:keep]
-                sr = np.asarray(sr)[:keep]
-                sc = np.asarray(sc)[:keep]
-                av = np.asarray(av)[:keep]
+                nv = pk[2][:keep]
+                sr = pk[3][:keep]
+                sc = pk[4][:keep]
+                av = pk[5][:keep]
                 for j, p in enumerate(idx):
                     dstore[int(p)] = {"drow": float(sr[j]),
                                       "dcol": float(sc[j]),
                                       "votes": float(nv[j]),
-                                      "nz": float(nv[j]) if av[j] else 0.0}
+                                      "nz": float(nv[j]) if av[j] > 0.5
+                                            else 0.0}
         return store[pair]
 
 

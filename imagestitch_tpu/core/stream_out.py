@@ -53,6 +53,76 @@ def fuse_rects_of_steps(steps) -> Tuple[Tuple[int, int, int, int], ...]:
                  for s in steps if s[0] == "fuse")
 
 
+def _subtract_one(piece, occ):
+    """Rectangle subtraction: ``piece`` minus ``occ`` as <=4 disjoint
+    rects.  Rects are (r0, c0, r1, c1) half-open."""
+    pr0, pc0, pr1, pc1 = piece
+    or0, oc0, or1, oc1 = occ
+    ir0, ic0 = max(pr0, or0), max(pc0, oc0)
+    ir1, ic1 = min(pr1, or1), min(pc1, oc1)
+    if ir0 >= ir1 or ic0 >= ic1:
+        return [piece]
+    out = []
+    if pr0 < ir0:
+        out.append((pr0, pc0, ir0, pc1))          # band above
+    if ir1 < pr1:
+        out.append((ir1, pc0, pr1, pc1))          # band below
+    if pc0 < ic0:
+        out.append((ir0, pc0, ir1, ic0))          # left of the hole
+    if ic1 < pc1:
+        out.append((ir0, ic1, ir1, pc1))          # right of the hole
+    return out
+
+
+#: per-step piece-count cap before falling back to streaming the full rect
+_MAX_PIECES = 64
+
+
+def visible_rect_pieces(steps, image_shape: Tuple[int, int]
+                        ) -> Tuple[Tuple[int, int, int, int], ...]:
+    """Last-writer-visible pieces of every fusion rect, in step order.
+
+    A fuse step's output only needs streaming where NO LATER step (paste
+    or fused-rect write) overwrites it — subsequent writes are either
+    replayed by the host paste or streamed by their own step.  Each rect
+    is clipped against every later step's paste extent and fusion rect
+    (reverse sweep with an occluder list); the surviving disjoint pieces
+    are what crosses the link.  On the dendritic grid this collapses the
+    reference-quirk full-frame rects (the running-canvas-extent overlap
+    bound, Stitcher.py:413/418) to the truly-visible fraction.
+    """
+    h, w = image_shape
+    occluders: List[Tuple[int, int, int, int]] = []
+    per_step: List[List[Tuple[int, int, int, int]]] = []
+    for s in reversed(steps):
+        i, (r, c) = s[1], s[2]
+        if s[0] == "fuse":
+            (rr0, rc0), (rh, rw) = s[3], s[4]
+            rect = (rr0, rc0, rr0 + rh, rc0 + rw)
+            pieces = [rect]
+            for occ in occluders:
+                if occ[0] >= rect[2] or occ[2] <= rect[0] or \
+                        occ[1] >= rect[3] or occ[3] <= rect[1]:
+                    continue
+                nxt = []
+                for p in pieces:
+                    nxt.extend(_subtract_one(p, occ))
+                pieces = nxt
+                if len(pieces) > _MAX_PIECES:
+                    pieces = [rect]
+                    break
+            per_step.append(pieces)
+            occluders.append(rect)
+        else:
+            per_step.append([])
+        occluders.append((r, c, r + h, c + w))
+    out: List[Tuple[int, int, int, int]] = []
+    for pieces in reversed(per_step):
+        for r0, c0, r1, c1 in pieces:
+            out.append((r0, c0, r1 - r0, c1 - c0))
+    return tuple(out)
+
+
 @functools.partial(jax.jit, static_argnames=("rects",))
 def _extract_rects_flat(canvas: jnp.ndarray,
                         rects: Tuple[Tuple[int, int, int, int], ...]
@@ -104,12 +174,12 @@ def paste_all_host(frames: np.ndarray, placement, steps) -> np.ndarray:
     return canvas
 
 
-def patch_rects_host(canvas: np.ndarray, steps, rect_stream: np.ndarray
+def patch_rects_host(canvas: np.ndarray, rects, rect_stream: np.ndarray
                      ) -> np.ndarray:
-    """Write the streamed fused-rect contents into the pasted canvas."""
+    """Write streamed rect contents (``rects`` order) into the canvas."""
     ch = canvas.shape[2] if canvas.ndim == 3 else 1
     off = 0
-    for rr, rc, rh, rw in fuse_rects_of_steps(steps):
+    for rr, rc, rh, rw in rects:
         size = rh * rw * ch
         canvas[rr:rr + rh, rc:rc + rw] = \
             rect_stream[off:off + size].reshape((rh, rw, ch) if ch > 1
@@ -120,9 +190,10 @@ def patch_rects_host(canvas: np.ndarray, steps, rect_stream: np.ndarray
 
 def assemble_host(frames: np.ndarray, placement, steps,
                   rect_stream: np.ndarray) -> np.ndarray:
-    """Paste frames in placement order, then patch in the streamed rects."""
+    """Paste frames in placement order, then patch in the streamed rects
+    (full-rect stream variant)."""
     return patch_rects_host(paste_all_host(frames, placement, steps),
-                            steps, rect_stream)
+                            fuse_rects_of_steps(steps), rect_stream)
 
 
 def compose_streamed(frames_host: np.ndarray,
@@ -145,7 +216,7 @@ def compose_streamed(frames_host: np.ndarray,
     placement, steps, _ = compose_mod.plan_compose(offsets, (h, w), cfg)
     src = frames_dev if frames_dev is not None else frames_host
     pano_dev = compose_mod.compose(src, offsets, cfg, return_device=True)
-    rects = fuse_rects_of_steps(steps)
+    rects = visible_rect_pieces(steps, (h, w))
     flat = _extract_rects_flat(pano_dev, rects)
     # the host paste replay touches only host memory — run it concurrently
     # with the rect-stream D2H readback
@@ -153,7 +224,7 @@ def compose_streamed(frames_host: np.ndarray,
         paste_fut = ex.submit(paste_all_host, frames_host, placement, steps)
         stream = read_back(flat)
         canvas = paste_fut.result()
-    out = patch_rects_host(canvas, steps, stream)
+    out = patch_rects_host(canvas, rects, stream)
     if return_device:
         return out, pano_dev
     return out
@@ -176,6 +247,7 @@ def compose_color_host(frames_color: np.ndarray,
     blended pixels).  Zero color bytes cross the host<->device link in
     either direction.
     """
+    from ..io import native_loader
     from ..ops.fusion import host_blend
     assert frames_color.ndim == 4, "color batch expected"
     assert cfg.fuse_method in compose_mod._PADDABLE_METHODS, \
@@ -183,19 +255,110 @@ def compose_color_host(frames_color: np.ndarray,
     n, h, w = frames_color.shape[:3]
     placement, steps, pairwise = compose_mod.plan_compose(
         offsets, (h, w), cfg)
+    import ctypes
     rows, cols = placement.canvas_shape
-    canvas = np.full((rows, cols, 3), -1, np.int16)
+    lib = native_loader.get_lib()
+    native = (lib is not None
+              and cfg.fuse_method in ("fadeInAndFadeOut", "trigonometric"))
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if native:
+        canvas = np.empty((rows, cols, 3), np.int16)
+        lib.isr_fill16(canvas.ctypes.data_as(i16p), canvas.size, -1, 0)
+    else:
+        canvas = np.full((rows, cols, 3), -1, np.int16)
     for s in steps:
         kind, i, (r, c) = s[0], s[1], s[2]
+        frame = np.ascontiguousarray(frames_color[i])
         if kind == "paste":
-            canvas[r:r + h, c:c + w] = frames_color[i]
+            if native:
+                lib.isr_paste16(canvas.ctypes.data_as(i16p), rows, cols, 3,
+                                frame.ctypes.data_as(u8p), h, w,
+                                int(r), int(c), 0)
+            else:
+                canvas[r:r + h, c:c + w] = frame
             continue
         (rr0, rc0), (rh, rw) = s[3], s[4]
-        roi_a = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
-        canvas[r:r + h, c:c + w] = frames_color[i]
-        roi_b = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
         pw = pairwise[i]
+        if native:
+            _native_fuse_step(lib, canvas, frame, (r, c), (rr0, rc0, rh, rw),
+                              pw, cfg.fuse_method)
+            continue
+        roi_a = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
+        canvas[r:r + h, c:c + w] = frame
+        roi_b = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
         fused = host_blend.fuse_region_np(roi_a, roi_b, pw[0], pw[1],
                                           cfg.fuse_method, True)
         canvas[rr0:rr0 + rh, rc0:rc0 + rw] = fused.astype(np.int16)
+    if native:
+        out = np.empty((rows, cols, 3), np.uint8)
+        lib.isr_finalize16(canvas.ctypes.data_as(i16p),
+                           out.ctypes.data_as(u8p), canvas.size, 0)
+        return out
     return np.where(canvas == -1, 0, canvas).astype(np.uint8)
+
+
+def _native_fuse_step(lib, canvas: np.ndarray, frame: np.ndarray,
+                      pos, rect, pw, method: str) -> None:
+    """One paste+fuse step fully in the C runtime (isr_fuse_step): stats in
+    one pass, weight DECISIONS in Python (quirk-exact, host_blend), blend +
+    paste + write-back in place on the int16 canvas — no rect copies."""
+    import ctypes
+    from ..ops.fusion import host_blend
+    r, c = pos
+    rr0, rc0, rh, rw = rect
+    h, w = frame.shape[:2]
+    ch = canvas.shape[2] if canvas.ndim == 3 else 1
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    quad = np.zeros(4, np.longlong)
+    first_v = np.zeros(rw, np.int32)
+    last_v = np.zeros(rw, np.int32)
+    npos = np.zeros(1, np.longlong)
+    lib.isr_rect_stats(
+        canvas.ctypes.data_as(i16p), canvas.shape[1], ch,
+        rr0, rc0, rh, rw,
+        quad.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        first_v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        last_v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        npos.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+    valid_frac = float(npos[0]) / (rh * rw * ch)
+    plain = valid_frac > 0.65
+    zr = np.zeros(rh, np.float64)
+    zc = np.zeros(rw, np.float64)
+    if plain:
+        if method == "fadeInAndFadeOut":
+            war, wac, wbr, wbc = host_blend._plain_fade_vectors(
+                (rh, rw), pw[0], pw[1])
+            mode = 0
+        else:
+            if rw <= rh:
+                j = np.arange(rw, dtype=np.float64)
+                base = j / rw if pw[1] >= 0 else (rw - j) / rw
+                war, wac = np.ones(rh, np.float64), base
+            else:
+                iv = np.arange(rh, dtype=np.float64)
+                base = iv / rh if pw[0] <= 0 else (rh - iv) / rh
+                war, wac = base, np.ones(rw, np.float64)
+            wbr, wbc = zr, zc
+            mode = 2
+    else:
+        def row_valid(ri):
+            v = canvas[rr0 + ri, rc0:rc0 + rw]
+            return (v.sum(axis=-1) != -3) if ch == 3 else (v != -1)
+        wbr, wbc = host_blend.corner_vectors_from_stats(
+            quad, first_v, last_v, row_valid, rh, rw)
+        war, wac = zr, zc
+        mode = 1 if method == "fadeInAndFadeOut" else 3
+    war = np.ascontiguousarray(war, np.float64)
+    wac = np.ascontiguousarray(wac, np.float64)
+    wbr = np.ascontiguousarray(wbr, np.float64)
+    wbc = np.ascontiguousarray(wbc, np.float64)
+    lib.isr_fuse_step(
+        canvas.ctypes.data_as(i16p), canvas.shape[0], canvas.shape[1], ch,
+        frame.ctypes.data_as(u8p), h, w, int(r), int(c),
+        int(rr0), int(rc0), int(rh), int(rw),
+        war.ctypes.data_as(f64p), wac.ctypes.data_as(f64p),
+        wbr.ctypes.data_as(f64p), wbc.ctypes.data_as(f64p),
+        int(mode), 0)

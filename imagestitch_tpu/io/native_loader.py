@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_SO_PATH)
             lib.isr_version.restype = ctypes.c_int
-            if lib.isr_version() != 1:
+            if lib.isr_version() != 2:
                 return None
             lib.isr_probe.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_int),
@@ -70,6 +70,32 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            f64p = ctypes.POINTER(ctypes.c_double)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_longlong)
+            lib.isr_blend_rect.argtypes = [
+                i16p, i16p, u8p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f64p, f64p, f64p, f64p, ctypes.c_int, ctypes.c_int]
+            lib.isr_paste16.argtypes = [
+                i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int]
+            lib.isr_rect_stats.argtypes = [
+                i16p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i64p, i32p, i32p, i64p]
+            lib.isr_fuse_step.argtypes = [
+                i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                f64p, f64p, f64p, f64p, ctypes.c_int, ctypes.c_int]
+            lib.isr_fill16.argtypes = [i16p, ctypes.c_longlong,
+                                       ctypes.c_int16, ctypes.c_int]
+            lib.isr_finalize16.argtypes = [i16p, u8p, ctypes.c_longlong,
+                                           ctypes.c_int]
             _lib = lib
         except OSError:
             return None
@@ -111,6 +137,40 @@ class NativeLoader:
         if rc != 0:
             raise IOError(f"native decode failed for {files[rc - 1]}")
         return list(out)
+
+
+def blend_rect_native(a: np.ndarray, b: np.ndarray,
+                      war: np.ndarray, wac: np.ndarray,
+                      wbr: np.ndarray, wbc: np.ndarray,
+                      mode: int) -> Optional[np.ndarray]:
+    """Threaded double-precision separable-weight rect blend (C kernel).
+
+    ``a``/``b``: (H, W[, C]) int16 canvas rects (before / after paste);
+    weight factor vectors are float64 of lengths H / W.  Returns the uint8
+    fused rect, or None when the native runtime is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = a.shape[:2]
+    c = a.shape[2] if a.ndim == 3 else 1
+    a = np.ascontiguousarray(a, np.int16)
+    b = np.ascontiguousarray(b, np.int16)
+    war = np.ascontiguousarray(war, np.float64)
+    wac = np.ascontiguousarray(wac, np.float64)
+    wbr = np.ascontiguousarray(wbr, np.float64)
+    wbc = np.ascontiguousarray(wbc, np.float64)
+    out = np.empty(a.shape, np.uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.isr_blend_rect(
+        a.ctypes.data_as(i16p), b.ctypes.data_as(i16p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, c,
+        war.ctypes.data_as(f64p), wac.ctypes.data_as(f64p),
+        wbr.ctypes.data_as(f64p), wbc.ctypes.data_as(f64p),
+        int(mode), 0)
+    return out
 
 
 def bgr_to_gray_native(bgr: np.ndarray) -> Optional[np.ndarray]:

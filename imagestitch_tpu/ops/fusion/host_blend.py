@@ -76,32 +76,24 @@ def _row_ramp_down_np(n: int, idx: int) -> np.ndarray:
     return out
 
 
-def corner_fade_weights_np(image_a: np.ndarray, color: bool
-                           ) -> Tuple[np.ndarray, np.ndarray]:
-    """getWeightsMatrix (ImageFusion.py:43-190), vectorized, float64.
+def corner_vectors_from_stats(quad, first_v, last_v, row_valid,
+                              row: int, col: int
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Corner weight factors from one-pass rect statistics.
 
-    Mirrors weights.corner_fade_weights: the minimum-positive-count
-    quadrant locates the overlap; boundary scans become argmax/argmin
-    reductions; weightB = row_ramp x col_ramp, weightA = 1 - weightB.
+    ``quad``: 4 positive-element counts in the reference's cmp order
+    (ul, ll, lr, ur — ImageFusion.py:56-62); ``first_v``/``last_v``:
+    per-column first/last VALID row (-1 when the column has none);
+    ``row_valid(ri) -> (col,) bool``: validity of one row on demand.
+    Enables the native composer to gather stats in a single C pass
+    (isr_rect_stats) while this function keeps the quirk-exact decision
+    logic in one place.
     """
-    a = np.asarray(image_a)
-    row, col = a.shape[:2]
-    valid = _valid_np(a, color)
-    positive = a > 0
-    quad = [
-        int(np.count_nonzero(positive[0:row // 2, 0:col // 2])),
-        int(np.count_nonzero(positive[row // 2:row, 0:col // 2])),
-        int(np.count_nonzero(positive[row // 2:row, col // 2:col])),
-        int(np.count_nonzero(positive[0:row // 2, col // 2:col])),
-    ]
-    index = quad.index(min(quad))
-
-    any_col = valid.any(axis=0)
-    last_valid_r = np.where(any_col,
-                            (row - 1) - np.argmax(valid[::-1], axis=0), 0)
-    first_valid_r = np.where(any_col, np.argmax(valid, axis=0), 0)
-    cand_bottom_up = np.where(any_col, last_valid_r + 1, 0)
-    cand_top_down = np.where(any_col, first_valid_r - 1, 0)
+    index = int(np.argmin(quad))   # first minimum = list.index(min)
+    first_v = np.asarray(first_v)
+    last_v = np.asarray(last_v)
+    cand_bottom_up = np.where(last_v >= 0, last_v + 1, 0)
+    cand_top_down = np.where(first_v >= 0, first_v - 1, 0)
 
     def select_first_nonzero(cand, order_desc: bool, skip_col0: bool) -> int:
         nz = cand != 0
@@ -114,7 +106,7 @@ def corner_fade_weights_np(image_a: np.ndarray, color: bool
         return int(cand[idxs[-1] if order_desc else idxs[0]])
 
     def col_index_after(ri: int, from_right: bool, minus_one: bool) -> int:
-        vrow = valid[min(max(ri, 0), row - 1)]
+        vrow = row_valid(min(max(ri, 0), row - 1))
         idxs = np.nonzero(vrow)[0]
         if len(idxs) == 0:
             return 0
@@ -125,23 +117,53 @@ def corner_fade_weights_np(image_a: np.ndarray, color: bool
     if index == 2:    # overlap upper-left (ImageFusion.py:64-94)
         ri = select_first_nonzero(cand_bottom_up, True, True)
         ci = col_index_after(ri, True, False)
-        wb = _row_ramp_up_np(row, ri)[:, None] * \
-            _row_ramp_up_np(col, ci)[None, :]
+        wbr, wbc = _row_ramp_up_np(row, ri), _row_ramp_up_np(col, ci)
     elif index == 3:  # overlap lower-left (ImageFusion.py:96-126)
         ri = select_first_nonzero(cand_top_down, True, True)
         ci = col_index_after(ri, True, False)
-        wb = _row_ramp_down_np(row, ri)[:, None] * \
-            _row_ramp_up_np(col, ci)[None, :]
+        wbr, wbc = _row_ramp_down_np(row, ri), _row_ramp_up_np(col, ci)
     elif index == 0:  # overlap lower-right (ImageFusion.py:128-158)
         ri = select_first_nonzero(cand_top_down, False, False)
         ci = col_index_after(ri, False, True)
-        wb = _row_ramp_down_np(row, ri)[:, None] * \
-            _row_ramp_down_np(col, ci)[None, :]
+        wbr, wbc = _row_ramp_down_np(row, ri), _row_ramp_down_np(col, ci)
     else:             # index == 1: overlap upper-right (ImageFusion.py:160-187)
         ri = select_first_nonzero(cand_bottom_up, False, False)
         ci = col_index_after(ri, False, True)
-        wb = _row_ramp_up_np(row, ri)[:, None] * \
-            _row_ramp_down_np(col, ci)[None, :]
+        wbr, wbc = _row_ramp_up_np(row, ri), _row_ramp_down_np(col, ci)
+    return wbr, wbc
+
+
+def corner_weight_vectors_np(image_a: np.ndarray, color: bool
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """getWeightsMatrix's separable factors: weightB = row_vec x col_vec
+    (ImageFusion.py:43-190 builds wb1/wb2 as per-row / per-col ramps)."""
+    a = np.asarray(image_a)
+    row, col = a.shape[:2]
+    valid = _valid_np(a, color)
+    positive = a > 0
+    quad = [
+        int(np.count_nonzero(positive[0:row // 2, 0:col // 2])),
+        int(np.count_nonzero(positive[row // 2:row, 0:col // 2])),
+        int(np.count_nonzero(positive[row // 2:row, col // 2:col])),
+        int(np.count_nonzero(positive[0:row // 2, col // 2:col])),
+    ]
+    any_col = valid.any(axis=0)
+    last_v = np.where(any_col, (row - 1) - np.argmax(valid[::-1], axis=0), -1)
+    first_v = np.where(any_col, np.argmax(valid, axis=0), -1)
+    return corner_vectors_from_stats(quad, first_v, last_v,
+                                     lambda ri: valid[ri], row, col)
+
+
+def corner_fade_weights_np(image_a: np.ndarray, color: bool
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """getWeightsMatrix (ImageFusion.py:43-190), vectorized, float64.
+
+    Mirrors weights.corner_fade_weights: the minimum-positive-count
+    quadrant locates the overlap; boundary scans become argmax/argmin
+    reductions; weightB = row_ramp x col_ramp, weightA = 1 - weightB.
+    """
+    wbr, wbc = corner_weight_vectors_np(image_a, color)
+    wb = wbr[:, None] * wbc[None, :]
     return 1.0 - wb, wb
 
 
@@ -165,12 +187,35 @@ def _apply_weights_np(a: np.ndarray, b: np.ndarray, wa, wb, color: bool
     return np.clip(res, 0, 255).astype(np.uint8)
 
 
+def _plain_fade_vectors(shape_hw, drow, dcol):
+    """plain_fade_weights_np's separable factors: (war, wac, wbr, wbc)
+    with wa = war[i]*wac[j], wb = wbr[i]*wbc[j]."""
+    row, col = shape_hw
+    if col <= row:
+        j = np.arange(col, dtype=np.float64)
+        wa = (col - 1 - j) / col if dcol >= 0 else (j + 1) / col
+        wb = j / col if dcol >= 0 else (col - j) / col
+        ones = np.ones(row, np.float64)
+        return ones, wa, ones, wb
+    i = np.arange(row, dtype=np.float64)
+    wa = i / row if drow <= 0 else (row - i) / row
+    wb = (row - 1 - i) / row if drow <= 0 else (i + 1) / row
+    ones = np.ones(col, np.float64)
+    return wa, ones, wb, ones
+
+
 def fuse_region_np(image_a: np.ndarray, image_b: np.ndarray,
-                   drow: int, dcol: int, method: str, color: bool
-                   ) -> np.ndarray:
+                   drow: int, dcol: int, method: str, color: bool,
+                   use_native: bool = True) -> np.ndarray:
     """Host float64 ``fuseImage`` dispatcher (Stitcher.py:488-525).
 
-    ``image_a``/``image_b``: int32 regions with -1 sentinels.
+    ``image_a``/``image_b``: int regions with -1 sentinels.  The fade/trig
+    weight matrices are separable row x col factor products, so the blend
+    apply routes through the threaded C kernel
+    (native/stitch_runtime.cpp isr_blend_rect, same float64 expressions)
+    when available; numpy otherwise.  fade is bit-identical between the
+    two; trig may differ by 1 LSB where numpy's SIMD sin and libm sin
+    round differently (bounded in tests/test_host_blend.py).
     """
     if method in ("average", "maximum", "minimum", "notFuse"):
         a, b = _prefill_np(image_a, image_b)
@@ -183,26 +228,58 @@ def fuse_region_np(image_a: np.ndarray, image_b: np.ndarray,
         return np.minimum(a, b).astype(np.uint8)
     row, col = image_a.shape[0], image_a.shape[1]
     valid_frac = np.count_nonzero(image_a > -1) / image_a.size
+    if method not in ("fadeInAndFadeOut", "trigonometric"):
+        raise ValueError(f"host fusion does not support: {method}")
+
+    plain = valid_frac > 0.65
     if method == "fadeInAndFadeOut":
-        if valid_frac > 0.65:
-            wa, wb = plain_fade_weights_np((row, col), drow, dcol)
+        if plain:
+            war, wac, wbr, wbc = _plain_fade_vectors((row, col), drow, dcol)
+            mode = 0
         else:
-            wa, wb = corner_fade_weights_np(image_a, color)
-        return _apply_weights_np(image_a, image_b, wa, wb, color)
-    if method == "trigonometric":
-        # trig plain ramps mirror the fade ones (blend.fuse_trigonometric)
-        if valid_frac > 0.65:
+            wbr, wbc = corner_weight_vectors_np(image_a, color)
+            war = wac = None
+            mode = 1
+    else:  # trigonometric — plain ramps mirror the fade ones
+        if plain:
             if col <= row:
                 j = np.arange(col, dtype=np.float64)
-                wa = j / col if dcol >= 0 else (col - j) / col
-                wa = np.broadcast_to(wa[None, :], (row, col))
+                base = j / col if dcol >= 0 else (col - j) / col
+                war, wac = np.ones(row, np.float64), base
             else:
                 i = np.arange(row, dtype=np.float64)
-                wa = i / row if drow <= 0 else (row - i) / row
-                wa = np.broadcast_to(wa[:, None], (row, col))
+                base = i / row if drow <= 0 else (row - i) / row
+                war, wac = base, np.ones(col, np.float64)
+            wbr = wbc = None
+            mode = 2
         else:
-            wa, _ = corner_fade_weights_np(image_a, color)
-        wa = np.sin(wa * np.pi / 2.0) ** 2   # ImageFusion.py:286
+            wbr, wbc = corner_weight_vectors_np(image_a, color)
+            war = wac = None
+            mode = 3
+
+    if use_native:
+        from ...io import native_loader
+        zr = np.zeros(row, np.float64)
+        zc = np.zeros(col, np.float64)
+        out = native_loader.blend_rect_native(
+            image_a.astype(np.int16), image_b.astype(np.int16),
+            war if war is not None else zr, wac if wac is not None else zc,
+            wbr if wbr is not None else zr, wbc if wbc is not None else zc,
+            mode)
+        if out is not None:
+            return out
+
+    # numpy fallback: materialize the separable weights
+    if mode == 0:
+        wa = war[:, None] * wac[None, :]
+        wb = wbr[:, None] * wbc[None, :]
+    elif mode == 1:
+        wb = wbr[:, None] * wbc[None, :]
+        wa = 1.0 - wb
+    elif mode == 2:
+        wa = np.sin(war[:, None] * wac[None, :] * np.pi / 2.0) ** 2
         wb = 1.0 - wa
-        return _apply_weights_np(image_a, image_b, wa, wb, color)
-    raise ValueError(f"host fusion does not support: {method}")
+    else:
+        wa = np.sin((1.0 - wbr[:, None] * wbc[None, :]) * np.pi / 2.0) ** 2
+        wb = 1.0 - wa
+    return _apply_weights_np(image_a, image_b, wa, wb, color)

@@ -165,12 +165,19 @@ def _attempt_all_pairs_fn(mesh: Mesh, bounds_list, k_sel: int, metric: str,
             sr, sc = vote.subpixel_refine_batch(d_row, d_col, drf, dcf, v,
                                                 dr, dc)
             out.append((dr, dc, nv, sr, sc, av))
-        return tuple(out)
+        # pack as one (n_configs, 6, n_local) f32 block: the host replay
+        # reads ONE array instead of 6 per config (tunnel/PCIe readback
+        # latency dominates tiny fetches; see _pool_attempt_multi_jit)
+        return jnp.stack([
+            jnp.stack([dr.astype(jnp.float32), dc.astype(jnp.float32),
+                       nv.astype(jnp.float32), sr, sc,
+                       av.astype(jnp.float32)])
+            for dr, dc, nv, sr, sc, av in out])
 
     return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
-        out_specs=P(axis), check_vma=False))
+        out_specs=P(None, None, axis), check_vma=False))
 
 
 def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
@@ -178,7 +185,9 @@ def _attempt_all_pairs_jit(rows, cols, scores, descs, bounds_list,
                            max_distance: float, vote_method: str,
                            mesh: Mesh = None):
     """Dispatch wrapper: shard_map explicit-halo step (see
-    _attempt_all_pairs_fn).  ``mesh`` required; results are (N_pad,)."""
+    _attempt_all_pairs_fn).  ``mesh`` required; returns a packed
+    (n_configs, 6, N_pad) f32 array (drow, dcol, votes, sub_r, sub_c,
+    any_valid rows)."""
     fn = _attempt_all_pairs_fn(mesh, bounds_list, k_sel, metric, vote_method)
     return fn(rows, cols, scores, descs,
               jnp.float32(search_ratio), jnp.float32(max_distance))
@@ -223,25 +232,22 @@ class ShardedPooledCache:
                 (freg._strip_bounds(d, "first", s * ratio, h, w),
                  freg._strip_bounds(d, "second", s * ratio, h, w))
                 for d, s in configs)
-            results = _attempt_all_pairs_jit(
+            results = np.asarray(_attempt_all_pairs_jit(
                 *self._pool, bounds,
                 freg._capacity(cfg, cfg.features.max_keypoints),
                 self._metric, cfg.features.search_ratio,
                 freg._effective_max_distance(cfg), cfg.offset_calculate,
-                mesh=self._mesh)
+                mesh=self._mesh))
             self.dispatches += 1
-            n_pairs = int(np.asarray(results[0][2]).shape[0])
+            n_pairs = int(results.shape[-1])
             self.attempts_matched += n_pairs * len(configs)
-            for (d, s), (dr, dc, nv, sr, sc, av) in zip(configs, results):
+            for (d, s), pk in zip(configs, results):
                 dstore = self._store.setdefault((d, s), {})
-                nv = np.asarray(nv)
-                sr = np.asarray(sr)
-                sc = np.asarray(sc)
-                av = np.asarray(av)
+                nv, sr, sc, av = pk[2], pk[3], pk[4], pk[5]
                 for p in range(n_pairs):
                     dstore[p] = {"drow": float(sr[p]), "dcol": float(sc[p]),
                                  "votes": float(nv[p]),
-                                 "nz": float(nv[p]) if av[p] else 0.0}
+                                 "nz": float(nv[p]) if av[p] > 0.5 else 0.0}
         return store[pair]
 
 
@@ -295,10 +301,12 @@ def register_sequence_features_sharded(images: np.ndarray, cfg: StitchConfig,
     _, _, metric = freg._families(cfg)
     # whole-frame bounds: the "strip" is the full image
     bounds = ((0, h, 0, w), (0, h, 0, w))
-    (res,) = _attempt_all_pairs_jit(
+    res = np.asarray(_attempt_all_pairs_jit(
         *pool, (bounds,), max_kp, metric, cfg.features.search_ratio,
-        freg._effective_max_distance(cfg), cfg.offset_calculate, mesh=mesh)
-    dr, dc, nv, sr, sc, av = (np.asarray(x) for x in res)
+        freg._effective_max_distance(cfg), cfg.offset_calculate,
+        mesh=mesh))[0]
+    dr, dc, nv, sr, sc, av = res
+    av = av > 0.5
     out: List[reg.PairRegistration] = []
     for k in range(n - 1):
         okk = bool(nv[k] >= cfg.offset_evaluate)

@@ -67,6 +67,37 @@ def test_simple_fusers_match_device_semantics(rng, method):
     np.testing.assert_array_equal(got, dev)
 
 
+@pytest.mark.parametrize("color", [False, True])
+@pytest.mark.parametrize("case", ["plain", "corner"])
+def test_native_blend_matches_numpy(rng, color, case):
+    """The C isr_blend_rect kernel vs the numpy f64 fallback: fade must be
+    bit-identical (same IEEE double expressions); trig within 1 LSB (sin
+    implementations may round differently)."""
+    from imagestitch_tpu.io import native_loader
+    if native_loader.get_lib() is None:
+        pytest.skip("native runtime unavailable")
+    shape = (80, 100, 3) if color else (80, 100)
+    if case == "plain":
+        a = rng.integers(1, 255, shape, np.int64)
+        dr, dc = 5, 2
+    else:
+        a = _corner_region(rng, "lr", shape[:2], color=color)
+        dr, dc = -10, 120
+    b = rng.integers(1, 255, shape, np.int64)
+    for method, exact in (("fadeInAndFadeOut", True),
+                          ("trigonometric", False)):
+        nat = host_blend.fuse_region_np(a.astype(np.int32),
+                                        b.astype(np.int32), dr, dc,
+                                        method, color, use_native=True)
+        ref = host_blend.fuse_region_np(a.astype(np.int32),
+                                        b.astype(np.int32), dr, dc,
+                                        method, color, use_native=False)
+        if exact:
+            np.testing.assert_array_equal(nat, ref)
+        else:
+            assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 1
+
+
 def test_trig_matches_device_within_lsb(rng):
     import jax.numpy as jnp
     from imagestitch_tpu.ops.fusion import blend
