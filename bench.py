@@ -163,7 +163,7 @@ def _fence(x):
     import jax.numpy as jnp
     for l in jax.tree_util.tree_leaves(x):
         if hasattr(l, "block_until_ready"):
-            np.asarray(jnp.sum(l[..., :1, :1].astype(jnp.float32)))
+            np.asarray(jnp.sum(l.reshape(-1)[:1].astype(jnp.float32)))
     return x
 
 

@@ -50,7 +50,7 @@ def main():
     def fence(x):
         for l in jax.tree_util.tree_leaves(x):
             if hasattr(l, "block_until_ready"):
-                np.asarray(jnp.sum(l[..., :1, :1].astype(jnp.float32)))
+                np.asarray(jnp.sum(l.reshape(-1)[:1].astype(jnp.float32)))
         return x
 
     # ---- H2D shapes: serial chunked vs threaded-concurrent chunked ----
