@@ -139,6 +139,25 @@ class NativeLoader:
         return list(out)
 
 
+def probe_dims(path: str) -> Optional[tuple]:
+    """(H, W) of an image from its header — no full decode."""
+    lib = get_lib()
+    if lib is not None and _is_jpeg(path):
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        if lib.isr_probe(path.encode(), ctypes.byref(h),
+                         ctypes.byref(w)) == 0:
+            return (h.value, w.value)
+    try:
+        import cv2
+        im = cv2.imread(path, 0)
+        if im is not None:
+            return im.shape[:2]
+    except Exception:
+        pass
+    return None
+
+
 def blend_rect_native(a: np.ndarray, b: np.ndarray,
                       war: np.ndarray, wac: np.ndarray,
                       wbr: np.ndarray, wbc: np.ndarray,

@@ -327,13 +327,21 @@ def level_budget(max_kp: int, level: int, scale_factor: float,
 
 
 def _pool2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2 mean pool on (..., H, W) (H, W truncated to even)."""
+    """2x2 mean pool on (..., H, W) (H, W truncated to even).
+
+    reduce_window, not reshape-mean: splitting the lane dimension by 2 in
+    a reshape lowers to relayouts that cost 6 ms/frame on 5 MP v5e inputs;
+    the windowed reduction runs the same math at 1.6 ms/frame (r5
+    measurement — the pyramid downsample was ~60% of pool time)."""
     h2 = (x.shape[-2] // 2) * 2
     w2 = (x.shape[-1] // 2) * 2
     x = x[..., :h2, :w2]
-    s = x.shape[:-2]
-    x = x.reshape(s + (h2 // 2, 2, w2 // 2, 2))
-    return x.mean(axis=(-3, -1))
+    ones = (1,) * (x.ndim - 2)
+    y = jax.lax.reduce_window(x, np.float32(0) if x.dtype == jnp.float32
+                              else jnp.zeros((), x.dtype),
+                              jax.lax.add, ones + (2, 2), ones + (2, 2),
+                              "VALID")
+    return y * 0.25
 
 
 # --------------------------------------------------------------------------

@@ -13,9 +13,12 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-#: measured sweet spot on the tunnel (32 MB x 2 streams; 4 streams contend)
+#: measured sweet spot on the tunnel (r5 re-measurement on the 147 MB
+#: visible-piece stream: 1t 13.7 / 2t 18.5 / 3t 28.4 / 4t+ see
+#: baselines/pool_profile_r5_tpu.json; the r3 "4 streams contend" result
+#: no longer reproduces)
 CHUNK_BYTES = 32 << 20
-THREADS = 2
+THREADS = 4
 
 
 def read_back(array, chunk_bytes: int = CHUNK_BYTES,
