@@ -338,7 +338,7 @@ def main():
     stitch_device(read_back=False)
 
     fps_dev = n / min(stitch_device(read_back=False) for _ in range(3))
-    fps_stream = n / min(stitch_streamed() for _ in range(2))
+    fps_stream = n / min(stitch_streamed() for _ in range(3))
     fps_full_rb = n / stitch_device(read_back=True)
 
     # decode-included end-to-end (streamed output), measured BEFORE the
