@@ -26,6 +26,11 @@ r4 items 1/6):
     with device work on chunk k (SURVEY §2.3 PP row), and the output is
     streamed.  Bounded by the tunnel's measured ~49 MB/s H2D ceiling
     (baselines/stream_profile_tpu.json: threading does not raise it).
+  * fps_host_compose — zero-link-bytes gray mode: the device registers
+    (the compute-heavy stage), the host composes in the reference's own
+    float64 through the threaded C kernels (core/stream_out.compose_host)
+    — NO panorama bytes cross the link.  Output is reference-exact; the
+    device f32 composer agrees to ±1 LSB on ~5e-5 of blended pixels.
   * fps_color_e2e — the reference's ACTUAL dendritic workload (Main.py:6
     isColorMode=True): gray registration + color composition, ONE fenced
     end-to-end pass (no phase-sum optimism).  Color composes host-side in
@@ -357,6 +362,23 @@ def main():
 
     fps_dec = n / min(stitch_from_files() for _ in range(2))
 
+    # zero-readback gray mode: device registers, the host composes in the
+    # reference's float64 through the native C kernels (compose_host) —
+    # no panorama bytes cross the link at all.  Published alongside the
+    # streamed headline; output is reference-exact (the device f32
+    # composer agrees to ±1 LSB on a tiny blended fraction).
+    def stitch_host_compose() -> float:
+        t0 = time.time()
+        recs = register()
+        for s, e in _segments(recs, n):
+            if e - s < 2:
+                continue
+            offs = [recs[k].offset for k in range(s, e - 1)]
+            stream_out.compose_host(gray_host[s:e], offs, cfg)
+        return time.time() - t0
+
+    fps_host = n / min(stitch_host_compose() for _ in range(2))
+
     # ---- warm per-phase decomposition (device-fenced; min of 2 passes:
     # a single fenced pass can catch a tunnel hiccup worth seconds) ----
     fast = cfg.features.auto_upright and not cfg.features.upright
@@ -460,6 +482,8 @@ def main():
         # non-streamed path: full-panorama readback (times the tunnel)
         "fps_full_readback": round(fps_full_rb, 3),
         "fps_decode_included": round(fps_dec, 3),
+        # zero-link-bytes gray mode: device register + host f64 compose
+        "fps_host_compose": round(fps_host, 3),
         # the reference's own dendritic workload: register gray, compose
         # COLOR — one fenced end-to-end pass, host f64 composition
         "fps_color_e2e": round(fps_color, 3),

@@ -247,32 +247,50 @@ def compose_color_host(frames_color: np.ndarray,
     blended pixels).  Zero color bytes cross the host<->device link in
     either direction.
     """
+    assert frames_color.ndim == 4, "color batch expected"
+    return compose_host(frames_color, offsets, cfg)
+
+
+def compose_host(frames: np.ndarray,
+                 offsets: Sequence[Tuple[int, int]],
+                 cfg: StitchConfig) -> np.ndarray:
+    """Host-native composition (gray or color) in the reference's float64.
+
+    The generalization of ``compose_color_host`` to (N, H, W) gray
+    batches: registration stays on the device (the compute-heavy stage);
+    composition — a memory-speed operation the reference itself runs
+    host-side — replays on a host int16 canvas through the threaded C
+    kernels.  Output is reference-exact f64 arithmetic; the device f32
+    composer agrees to ±1 LSB on a tiny blended fraction.
+    """
     from ..io import native_loader
     from ..ops.fusion import host_blend
-    assert frames_color.ndim == 4, "color batch expected"
+    color = frames.ndim == 4
     assert cfg.fuse_method in compose_mod._PADDABLE_METHODS, \
-        f"{cfg.fuse_method} is gray-only (ref parity)"
-    n, h, w = frames_color.shape[:3]
+        f"{cfg.fuse_method} is not supported by the host composer"
+    n, h, w = frames.shape[:3]
+    ch = 3 if color else 1
     placement, steps, pairwise = compose_mod.plan_compose(
         offsets, (h, w), cfg)
     import ctypes
     rows, cols = placement.canvas_shape
+    shape = (rows, cols, 3) if color else (rows, cols)
     lib = native_loader.get_lib()
     native = (lib is not None
               and cfg.fuse_method in ("fadeInAndFadeOut", "trigonometric"))
     i16p = ctypes.POINTER(ctypes.c_int16)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     if native:
-        canvas = np.empty((rows, cols, 3), np.int16)
+        canvas = np.empty(shape, np.int16)
         lib.isr_fill16(canvas.ctypes.data_as(i16p), canvas.size, -1, 0)
     else:
-        canvas = np.full((rows, cols, 3), -1, np.int16)
+        canvas = np.full(shape, -1, np.int16)
     for s in steps:
         kind, i, (r, c) = s[0], s[1], s[2]
-        frame = np.ascontiguousarray(frames_color[i])
+        frame = np.ascontiguousarray(frames[i])
         if kind == "paste":
             if native:
-                lib.isr_paste16(canvas.ctypes.data_as(i16p), rows, cols, 3,
+                lib.isr_paste16(canvas.ctypes.data_as(i16p), rows, cols, ch,
                                 frame.ctypes.data_as(u8p), h, w,
                                 int(r), int(c), 0)
             else:
@@ -288,10 +306,10 @@ def compose_color_host(frames_color: np.ndarray,
         canvas[r:r + h, c:c + w] = frame
         roi_b = canvas[rr0:rr0 + rh, rc0:rc0 + rw].astype(np.int32)
         fused = host_blend.fuse_region_np(roi_a, roi_b, pw[0], pw[1],
-                                          cfg.fuse_method, True)
+                                          cfg.fuse_method, color)
         canvas[rr0:rr0 + rh, rc0:rc0 + rw] = fused.astype(np.int16)
     if native:
-        out = np.empty((rows, cols, 3), np.uint8)
+        out = np.empty(shape, np.uint8)
         lib.isr_finalize16(canvas.ctypes.data_as(i16p),
                            out.ctypes.data_as(u8p), canvas.size, 0)
         return out

@@ -123,6 +123,24 @@ def test_stitcher_stream_output_feature_incre_gray():
         np.testing.assert_array_equal(s.image, b.image)
 
 
+@pytest.mark.parametrize("offsets", OFFSET_CASES)
+@pytest.mark.parametrize("fuse", ["fadeInAndFadeOut", "trigonometric"])
+def test_compose_host_gray_matches_device(rng, offsets, fuse):
+    """Gray host-native composition (f64 C kernels) vs the device f32
+    composer: ±1 LSB on a small blended fraction (host is the
+    reference-exact arithmetic)."""
+    shape = (120, 160)
+    tiles = _tiles(rng, offsets, shape)
+    cfg = StitchConfig(color_mode=False, fuse_method=fuse,
+                       registration="phase_incre")
+    full = compose(tiles, offsets, cfg)
+    host = stream_out.compose_host(tiles, offsets, cfg)
+    diff = np.abs(host.astype(np.int32) - full.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    # trig's sin^2 rounds differently in f32 more often than fade's ramps
+    assert (diff != 0).mean() < 8e-2
+
+
 def test_streamed_single_image(rng):
     tiles = rng.integers(1, 255, (1, 60, 80), np.uint8)
     cfg = StitchConfig(color_mode=False, fuse_method="fadeInAndFadeOut",
