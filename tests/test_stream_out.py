@@ -92,19 +92,18 @@ def test_stitcher_stream_output_matches_default():
         base = Stitcher(cfg).stitch_files(files)
         streamed = Stitcher(cfg.replace(stream_output=True)).stitch_files(files)
         assert len(base) == len(streamed) == 1
-        if color:
-            # host path is the reference-exact f64; device f32 may differ
-            # by 1 LSB on a tiny blended-pixel fraction
-            diff = np.abs(streamed[0].image.astype(np.int32)
-                          - base[0].image.astype(np.int32))
-            assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
-        else:
-            np.testing.assert_array_equal(streamed[0].image, base[0].image)
+        # --stream-output routes BOTH gray and color through the host f64
+        # composer (reference-exact); the device f32 default may differ by
+        # 1 LSB on a tiny blended-pixel fraction
+        diff = np.abs(streamed[0].image.astype(np.int32)
+                      - base[0].image.astype(np.int32))
+        assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
 
 
 def test_stitcher_stream_output_feature_incre_gray():
     """The flagship ingest path (feature_incre, fused pipelined decode)
-    retains host frames for the streamed assembler; results are identical."""
+    retains host frames for the streamed assembler; the f64 host composer
+    agrees with the device default to 1 LSB on a tiny fraction."""
     import os
     from conftest import REFERENCE_DEMO, has_demo_images
     if not has_demo_images():
@@ -120,7 +119,8 @@ def test_stitcher_stream_output_feature_incre_gray():
     streamed = Stitcher(cfg.replace(stream_output=True)).stitch_files(files)
     assert len(base) == len(streamed)
     for b, s in zip(base, streamed):
-        np.testing.assert_array_equal(s.image, b.image)
+        diff = np.abs(s.image.astype(np.int32) - b.image.astype(np.int32))
+        assert diff.max() <= 1 and (diff != 0).mean() < 1e-2
 
 
 @pytest.mark.parametrize("offsets", OFFSET_CASES)
