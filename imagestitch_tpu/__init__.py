@@ -10,7 +10,8 @@ composition, a distributed pose-graph solver, and multi-chip scaling over
 from .config import StitchConfig, FeatureConfig, EnhanceConfig, direction_increase
 from .core.stitcher import Stitcher, StitchResult
 from .core.compose import compose, compute_placement
-from .core.stream_out import compose_streamed, compose_color_host
+from .core.stream_out import (compose_streamed, compose_color_host,
+                              compose_host, compose_host_positions)
 from .core import registration
 
 __version__ = "0.1.0"
@@ -18,5 +19,6 @@ __version__ = "0.1.0"
 __all__ = [
     "StitchConfig", "FeatureConfig", "EnhanceConfig", "direction_increase",
     "Stitcher", "StitchResult", "compose", "compute_placement",
-    "compose_streamed", "compose_color_host", "registration",
+    "compose_streamed", "compose_color_host", "compose_host",
+    "compose_host_positions", "registration",
 ]

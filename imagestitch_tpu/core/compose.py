@@ -328,16 +328,29 @@ def compose_from_positions(images: np.ndarray,
     place every tile.  Fusion runs against the previous tile's true extent;
     the fusion ramp direction uses the consecutive position delta.
     """
-    n = images.shape[0]
     color = images.ndim == 4
     h, w = images.shape[1], images.shape[2]
-    pos = np.round(np.asarray(positions, np.float64)).astype(np.int64)
-    pos -= pos.min(axis=0)
-    rows = int(pos[:, 0].max()) + h
-    cols = int(pos[:, 1].max()) + w
+    (rows, cols), steps, deltas = plan_compose_positions(
+        positions, (h, w), cfg)
     shape = (rows, cols, 3) if color else (rows, cols)
     canvas = jnp.full(shape, -1, jnp.int16)
     images_dev = jnp.asarray(images)
+    return _run_steps(steps, images_dev, canvas, deltas, cfg, color,
+                      return_device)
+
+
+def plan_compose_positions(positions: np.ndarray,
+                           image_shape: Tuple[int, int], cfg: StitchConfig):
+    """Canvas size + step classification for ABSOLUTE tile positions
+    (global-solver output); shared by the device and host composers.
+    Returns ``((rows, cols), steps, deltas)``.
+    """
+    h, w = image_shape
+    pos = np.round(np.asarray(positions, np.float64)).astype(np.int64)
+    pos -= pos.min(axis=0)
+    n = pos.shape[0]
+    rows = int(pos[:, 0].max()) + h
+    cols = int(pos[:, 1].max()) + w
     deltas = [(0, 0)] + [tuple((pos[i] - pos[i - 1]).tolist())
                          for i in range(1, n)]
     steps = []
@@ -354,8 +367,7 @@ def compose_from_positions(images: np.ndarray,
         else:
             steps.append(("fuse", i, (r, c), (rr0, rc0),
                           (rr1 - rr0, rc1 - rc0)))
-    return _run_steps(steps, images_dev, canvas, deltas, cfg, color,
-                      return_device)
+    return (rows, cols), steps, deltas
 
 
 _PADDABLE_METHODS = ("notFuse", "average", "maximum", "minimum",

@@ -178,8 +178,8 @@ class Stitcher:
                                         f"edges added")
                 iters = self.cfg.solver_iters or None
                 positions = pg.solve(graph, iters=iters)
-                img = compose_mod.compose_from_positions(
-                    seg_images, positions, self.cfg)
+                img = self._compose_positions(batch, seg_images, positions,
+                                              start, end)
                 results.append(StitchResult(image=img,
                                             file_range=(start, end + 1),
                                             offsets=seg_offsets))
@@ -241,6 +241,29 @@ class Stitcher:
                         host[start:end + 1], seg_offsets, cfg,
                         frames_dev=dev)
         return compose_mod.compose(seg_images, seg_offsets, cfg)
+
+    def _compose_positions(self, batch: dataset.ImageBatch, seg_images,
+                           positions, start: int, end: int) -> np.ndarray:
+        """Solver-path composition; honors ``cfg.stream_output`` with the
+        host f64 composer (compose_host_positions) when possible."""
+        cfg = self.cfg
+        if cfg.stream_output and \
+                cfg.fuse_method in compose_mod._PADDABLE_METHODS:
+            from ..io import native_loader
+            from . import stream_out
+            if native_loader.get_lib() is not None:
+                if cfg.color_mode:
+                    if isinstance(batch.color, np.ndarray):
+                        return stream_out.compose_host_positions(
+                            np.asarray(seg_images), positions, cfg)
+                else:
+                    host = batch.gray_host if batch.gray_host is not None \
+                        else (batch.gray
+                              if isinstance(batch.gray, np.ndarray) else None)
+                    if host is not None:
+                        return stream_out.compose_host_positions(
+                            host[start:end + 1], positions, cfg)
+        return compose_mod.compose_from_positions(seg_images, positions, cfg)
 
     def stitch_files(self, files: Sequence[str]) -> List[StitchResult]:
         """Stitch a file sequence with pipelined ingest (SURVEY §2.3 PP row):

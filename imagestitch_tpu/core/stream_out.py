@@ -263,17 +263,34 @@ def compose_host(frames: np.ndarray,
     kernels.  Output is reference-exact f64 arithmetic; the device f32
     composer agrees to ±1 LSB on a tiny blended fraction.
     """
+    h, w = frames.shape[1], frames.shape[2]
+    placement, steps, pairwise = compose_mod.plan_compose(
+        offsets, (h, w), cfg)
+    return _run_steps_host(frames, placement.canvas_shape, steps, pairwise,
+                           cfg)
+
+
+def compose_host_positions(frames: np.ndarray, positions: np.ndarray,
+                           cfg: StitchConfig) -> np.ndarray:
+    """Host f64 composition from ABSOLUTE tile positions (the global
+    solver's output) — the host analog of compose_from_positions."""
+    h, w = frames.shape[1], frames.shape[2]
+    shape, steps, deltas = compose_mod.plan_compose_positions(
+        positions, (h, w), cfg)
+    return _run_steps_host(frames, shape, steps, deltas, cfg)
+
+
+def _run_steps_host(frames: np.ndarray, canvas_shape, steps, pairwise,
+                    cfg: StitchConfig) -> np.ndarray:
     from ..io import native_loader
     from ..ops.fusion import host_blend
     color = frames.ndim == 4
     assert cfg.fuse_method in compose_mod._PADDABLE_METHODS, \
         f"{cfg.fuse_method} is not supported by the host composer"
-    n, h, w = frames.shape[:3]
+    h, w = frames.shape[1], frames.shape[2]
     ch = 3 if color else 1
-    placement, steps, pairwise = compose_mod.plan_compose(
-        offsets, (h, w), cfg)
     import ctypes
-    rows, cols = placement.canvas_shape
+    rows, cols = canvas_shape
     shape = (rows, cols, 3) if color else (rows, cols)
     lib = native_loader.get_lib()
     native = (lib is not None

@@ -141,6 +141,26 @@ def test_compose_host_gray_matches_device(rng, offsets, fuse):
     assert (diff != 0).mean() < 8e-2
 
 
+def test_compose_host_positions_matches_device(rng):
+    """Solver-path host composition (absolute positions) vs
+    compose_from_positions: ±1 LSB bound, same accounting as the offsets
+    path."""
+    from imagestitch_tpu.core import compose as cm
+    shape = (100, 140)
+    positions = np.asarray([[0.0, 0.0], [70.2, 2.4], [139.8, -1.2]])
+    base = rng.integers(1, 255, (320, 160), np.uint8)
+    pos_i = np.round(positions).astype(int)
+    pos_i -= pos_i.min(axis=0)
+    tiles = np.stack([base[r:r + shape[0], c:c + shape[1]]
+                      for r, c in pos_i])
+    cfg = StitchConfig(color_mode=False, fuse_method="fadeInAndFadeOut",
+                       registration="phase_incre")
+    dev = cm.compose_from_positions(tiles, positions, cfg)
+    host = stream_out.compose_host_positions(tiles, positions, cfg)
+    diff = np.abs(host.astype(np.int32) - dev.astype(np.int32))
+    assert diff.max() <= 1 and (diff != 0).mean() < 5e-2
+
+
 def test_streamed_single_image(rng):
     tiles = rng.integers(1, 255, (1, 60, 80), np.uint8)
     cfg = StitchConfig(color_mode=False, fuse_method="fadeInAndFadeOut",
