@@ -213,10 +213,7 @@ class Stitcher:
             from ..io import native_loader
             from . import stream_out
             host_ok = (native_loader.get_lib() is not None
-                       and cfg.fuse_method in ("fadeInAndFadeOut",
-                                               "trigonometric", "average",
-                                               "maximum", "minimum",
-                                               "notFuse"))
+                       and cfg.fuse_method in compose_mod._PADDABLE_METHODS)
             if cfg.color_mode:
                 # color never crosses the link: host f64 canvas + native
                 # C fusion kernels (stream_out.compose_color_host)

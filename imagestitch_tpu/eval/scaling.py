@@ -122,15 +122,19 @@ def run(images: Optional[np.ndarray] = None, device_counts=None,
             colls = pipeline.feature_step_collectives(
                 images, mesh, cfg=cfg, direction=direction, ratio=ratio)
         # ICI bytes model (eval/ici_model.py): phase moves only the three
-        # (P,)-float output all-gathers; feature additionally exchanges one
-        # frame's selected strip features per shard boundary
+        # (P,)-float output all-gathers; feature (r5 explicit-halo
+        # shard_map step) moves ONLY one frame's selected B-side strip
+        # features per shard boundary — rows f32 + cols f32 + valid pred +
+        # descs f32[k_sel, D] — outputs stay sharded (validated against
+        # compiled HLO at 2/4/8 devices: eval/hlo_validation.py)
         n_pairs_g = n - 1
-        out_bytes = (3 if mode == "phase" else 5) * n_pairs_g * 4
-        b_dev = ici_model.ring_all_gather_bytes(out_bytes, d)
-        if mode == "feature":
+        if mode == "phase":
+            out_bytes = 3 * n_pairs_g * 4
+            b_dev = ici_model.ring_all_gather_bytes(out_bytes, d)
+        else:
             k_sel = 256 if cfg else 1024
             desc_dim = 128
-            b_dev += k_sel * (desc_dim + 3) * 4   # boundary halo per device
+            b_dev = k_sel * (4 + 4 + 1 + desc_dim * 4)
         n_coll = int((colls or {}).get("total", 3))
         points.append(ScalingPoint(
             n_devices=d, frames_per_s=round(fps, 2),

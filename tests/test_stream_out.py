@@ -1,10 +1,12 @@
-"""Streamed-output assembly == full-readback composition, pixel-exact.
+"""Streamed / host output modes vs the device composer.
 
-The delta-readback design (core/stream_out.py) claims: host paste replay +
-final-canvas rect patches reproduces the device panorama exactly, and the
-host color path (CPU-backend fusion kernels, zero color bytes over the
-link) equals the device color composer.  These tests assert both, across
-fuse modes, serpentine/negative-rebase layouts, and corner overlaps.
+Claims under test (core/stream_out.py): (a) host paste replay +
+final-canvas rect patches reproduces the device panorama EXACTLY
+(compose_streamed); (b) the host float64 composers (compose_host /
+compose_color_host / compose_host_positions — the reference's own
+arithmetic, zero panorama link bytes) agree with the device f32 composer
+to ±1 LSB on a small blended fraction.  Covered across fuse modes,
+serpentine/negative-rebase layouts, and corner overlaps.
 """
 import numpy as np
 import pytest
