@@ -279,13 +279,17 @@ def main():
     # compute of chunk k — the same path the --mesh driver uses), ending in
     # HOST panoramas via the streamed output path (r5: the cold accounting
     # now covers true end-to-end, not device-complete).
+    t0 = time.time()
     recs0, gray0, gray0_host = prefetch.register_sequence_pipelined(
         files, cfg, keep_host=True)
+    t_cold_ingest_register = time.time() - t0
+    t0 = time.time()
     for s, e in _segments(recs0, n):
         if e - s < 2:
             continue
         offs = [recs0[k].offset for k in range(s, e - 1)]
         stream_out.compose_host(gray0_host[s:e], offs, cfg)
+    t_cold_compose = time.time() - t0
     t_first_result = time.time() - _T_PROC0
     del gray0, gray0_host, recs0
 
@@ -494,6 +498,13 @@ def main():
         "backend_init_s": round(backend_init_s, 1),
         "cold_start_minus_backend_init_s": round(
             t_first_result - backend_init_s, 1),
+        # cold split: ingest+register = decode ∥ H2D ∥ pool compile
+        # (AOT-warmed in a background thread) + replay compile; compose =
+        # host f64 composition (no device compile).  The floor here is the
+        # 445 MB upload at the ~49 MB/s link ceiling plus the per-process
+        # remote Mosaic kernel compiles (not disk-cacheable).
+        "cold_ingest_register_s": round(t_cold_ingest_register, 1),
+        "cold_compose_s": round(t_cold_compose, 1),
         "cpu_baseline_fps": round(base_fps, 4),
         "phases": {
             "decode_s": round(t_decode, 3),
