@@ -28,29 +28,6 @@ def _valid_np(image: np.ndarray, color: bool) -> np.ndarray:
     return image != -1
 
 
-def plain_fade_weights_np(shape_hw: Tuple[int, int], drow: int, dcol: int
-                          ) -> Tuple[np.ndarray, np.ndarray]:
-    """Linear cross-fade ramps (ImageFusion.py:213-235), float64."""
-    row, col = shape_hw
-    if col <= row:
-        j = np.arange(col, dtype=np.float64)
-        if dcol >= 0:
-            wa, wb = (col - 1 - j) / col, j / col
-        else:
-            wa, wb = (j + 1) / col, (col - j) / col
-        wa = np.broadcast_to(wa[None, :], (row, col))
-        wb = np.broadcast_to(wb[None, :], (row, col))
-    else:
-        i = np.arange(row, dtype=np.float64)
-        if drow <= 0:
-            wa, wb = i / row, (row - 1 - i) / row
-        else:
-            wa, wb = (row - i) / row, (i + 1) / row
-        wa = np.broadcast_to(wa[:, None], (row, col))
-        wb = np.broadcast_to(wb[:, None], (row, col))
-    return wa, wb
-
-
 def _row_ramp_up_np(n: int, idx: int) -> np.ndarray:
     """positions 0..idx get p/idx, rest 1 (ImageFusion.py:85-88);
     idx==0 -> all ones (the reference's in-loop guard)."""
@@ -188,8 +165,9 @@ def _apply_weights_np(a: np.ndarray, b: np.ndarray, wa, wb, color: bool
 
 
 def _plain_fade_vectors(shape_hw, drow, dcol):
-    """plain_fade_weights_np's separable factors: (war, wac, wbr, wbc)
-    with wa = war[i]*wac[j], wb = wbr[i]*wbc[j]."""
+    """Linear cross-fade ramps (ImageFusion.py:213-235) as separable
+    factors (war, wac, wbr, wbc): wa = war[i]*wac[j], wb = wbr[i]*wbc[j],
+    float64."""
     row, col = shape_hw
     if col <= row:
         j = np.arange(col, dtype=np.float64)
