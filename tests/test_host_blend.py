@@ -107,3 +107,47 @@ def test_trig_matches_device_within_lsb(rng):
     dev = np.asarray(blend.fuse_region(jnp.asarray(a), jnp.asarray(b),
                                        5, 2, "trigonometric", False))
     assert np.abs(got.astype(int) - dev.astype(int)).max() <= 1
+
+
+def test_native_rect_stats_match_numpy(rng):
+    """isr_rect_stats (one-pass C) vs the numpy reductions it replaces:
+    quadrant positive counts, per-column valid bounds, valid-element count
+    — on a canvas rect with sentinels, for gray and color."""
+    import ctypes
+
+    from imagestitch_tpu.io import native_loader
+    lib = native_loader.get_lib()
+    if lib is None:
+        pytest.skip("native runtime unavailable")
+    for ch in (1, 3):
+        shape = (64, 80, ch) if ch == 3 else (64, 80)
+        canvas = rng.integers(-1, 255, shape, np.int64).astype(np.int16)
+        rr0, rc0, rh, rw = 7, 9, 40, 60
+        quad = np.zeros(4, np.longlong)
+        first_v = np.zeros(rw, np.int32)
+        last_v = np.zeros(rw, np.int32)
+        npos = np.zeros(1, np.longlong)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.isr_rect_stats(
+            canvas.ctypes.data_as(i16p), canvas.shape[1], ch,
+            rr0, rc0, rh, rw,
+            quad.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            first_v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            last_v.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            npos.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+        rect = canvas[rr0:rr0 + rh, rc0:rc0 + rw]
+        pos = rect > 0
+        hr, hc = rh // 2, rw // 2
+        exp_quad = [np.count_nonzero(pos[:hr, :hc]),
+                    np.count_nonzero(pos[hr:, :hc]),
+                    np.count_nonzero(pos[hr:, hc:]),
+                    np.count_nonzero(pos[:hr, hc:])]
+        np.testing.assert_array_equal(quad, exp_quad)
+        valid = host_blend._valid_np(rect, ch == 3)
+        any_col = valid.any(axis=0)
+        exp_first = np.where(any_col, np.argmax(valid, axis=0), -1)
+        exp_last = np.where(any_col,
+                            (rh - 1) - np.argmax(valid[::-1], axis=0), -1)
+        np.testing.assert_array_equal(first_v, exp_first)
+        np.testing.assert_array_equal(last_v, exp_last)
+        assert int(npos[0]) == int(np.count_nonzero(rect > -1))
