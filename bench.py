@@ -494,7 +494,7 @@ def main():
         # COLOR — one fenced end-to-end pass, host f64 composition
         "fps_color_e2e": round(fps_color, 3),
         "time_to_first_result_s": round(t_first_result, 1),
-        "cold_path": "pipelined_ingest_first_stitch_streamed",
+        "cold_path": "pipelined_ingest_first_stitch_host_composed",
         "backend_init_s": round(backend_init_s, 1),
         "cold_start_minus_backend_init_s": round(
             t_first_result - backend_init_s, 1),
