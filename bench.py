@@ -392,7 +392,7 @@ def main():
         cfg.features, upright=True)) if fast else cfg
     t_pool = t_replay = t_fallback = t_compose = float("inf")
     t_rects = t_paste = float("inf")
-    for _ in range(2):
+    for _ in range(3):   # min-of-3: tunnel weather can cost a phase ~0.5 s
         t0 = time.time()
         pool = _fence(freg._precompute_pool(gray, cfg_pool))
         t_pool = min(t_pool, time.time() - t0)
