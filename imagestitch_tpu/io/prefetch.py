@@ -126,6 +126,45 @@ def _warm_pool_programs_async(files: Sequence[str], cfg,
                     fused_select=cfg.features.fused_select).compile()
             except Exception:
                 return   # warmup is best-effort; the real call compiles
+        # also pre-compile the replay's first big attempt sweep (all four
+        # directions of scale 1, full-pair bucket) — its shapes are fully
+        # determined by (n, frame shape, config), and it otherwise
+        # serializes its compile behind the replay's first dispatch
+        try:
+            from ..core import registration as reg
+            from ..ops.features import describe as desc_mod
+            if n < 2:
+                return
+            bucket = reg.bucket_size(n - 1)
+            p_cap = freg._capacity(cfg, cfg.features.pool_keypoints)
+            k_sel = freg._capacity(cfg, cfg.features.max_keypoints)
+            sparams = freg._describe_params(cfg)
+            dim = desc_mod.descriptor_dim(sparams)
+            _, _, metric = freg._families(cfg)
+            h, w = shape
+            configs = [(cfg.direction, 1)] + [
+                (d, 1) for d in (1, 2, 3, 4) if d != cfg.direction]
+            bounds = tuple(
+                (freg._strip_bounds(d, "first", s * cfg.roi_ratio, h, w),
+                 freg._strip_bounds(d, "second", s * cfg.roi_ratio, h, w))
+                for d, s in configs)
+            f32 = jnp.float32
+            freg._pool_attempt_multi_jit.lower(
+                jax.ShapeDtypeStruct((n, p_cap), f32),
+                jax.ShapeDtypeStruct((n, p_cap), f32),
+                jax.ShapeDtypeStruct((n, p_cap), f32),
+                jax.ShapeDtypeStruct((n, p_cap, dim), f32),
+                jax.ShapeDtypeStruct((bucket,), jnp.int32),
+                bounds, k_sel, metric,
+                # weak_type: the real call passes python floats, which
+                # trace weakly typed — a strong-f32 struct would compile a
+                # cache entry the runtime call never hits
+                jax.ShapeDtypeStruct((), f32, weak_type=True),
+                jax.ShapeDtypeStruct((), f32, weak_type=True),
+                cfg.offset_calculate,
+                cfg.use_pallas and jax.default_backend() == "tpu").compile()
+        except Exception:
+            pass
 
     return ThreadPoolExecutor(max_workers=1).submit(work)
 
