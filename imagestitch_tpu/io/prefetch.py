@@ -64,11 +64,13 @@ def pooled_features_pipelined(files: Sequence[str], cfg,
     """
     from ..core import feature_registration as freg
 
-    # cold-start overlap (VERDICT r4 item 7): AOT-compile the pool
-    # program(s) for the known chunk shapes WHILE the first chunks decode
-    # and upload — on a fresh process the first pool dispatch otherwise
-    # serializes a multi-second (remote) compile behind the ingest loop.
-    warm = _warm_pool_programs_async(files, cfg, chunk_frames)
+    # cold-start overlap (VERDICT r4 item 7): AOT-compile the LATE
+    # programs — the tail-chunk pool and the replay's first attempt sweep —
+    # while the main-chunk pool compiles on the dispatch path and the
+    # chunks decode/upload.  (Warming the main chunk's own program is
+    # counterproductive: its first dispatch happens within seconds and the
+    # two compilations would just contend for the compiler.)
+    _warm_pool_programs_async(files, cfg, chunk_frames)
 
     dev_chunks: List[jnp.ndarray] = []
     host_chunks: List[np.ndarray] = []
@@ -90,16 +92,17 @@ def pooled_features_pipelined(files: Sequence[str], cfg,
     if keep_host:
         gray_host = np.concatenate(host_chunks) if len(host_chunks) > 1 \
             else host_chunks[0]
-    if warm is not None:
-        warm.result()
     return pool, gray_dev, gray_host
 
 
 def _warm_pool_programs_async(files: Sequence[str], cfg,
                               chunk_frames: int):
-    """Background AOT compile of the pooled-detect program for every chunk
-    length this sequence will dispatch (XLA compiles release the GIL, so
-    this genuinely overlaps libjpeg decode and H2D)."""
+    """Fire-and-forget (daemon) AOT compile of the late-dispatched
+    programs: the tail-chunk pool and the replay's first attempt sweep.
+    XLA compiles release the GIL, so this genuinely overlaps libjpeg
+    decode, H2D, and the main chunk's dispatch-path compile; results reach
+    the dispatch path through the persistent compilation cache (measured:
+    a 25 s fresh-process pool compile reused in 3.7 s)."""
     import jax
 
     from ..core import feature_registration as freg
@@ -110,11 +113,14 @@ def _warm_pool_programs_async(files: Sequence[str], cfg,
         return None
     n = len(files)
     chunk = max(chunk_frames, 2)
-    lengths = {min(chunk, n)}
-    if n % chunk:
-        lengths.add(n % chunk)
+    lengths = set()
+    if n > chunk and n % chunk:
+        lengths.add(n % chunk)      # the tail chunk dispatches LAST
 
     def work():
+        # the replay sweep first: its compile can hide entirely inside the
+        # window where the MAIN chunk's pool compiles on the dispatch path
+        _warm_replay(files, cfg, shape, n)
         for ln in sorted(lengths):
             try:
                 struct = jax.ShapeDtypeStruct((ln,) + shape, jnp.uint8)
@@ -126,47 +132,57 @@ def _warm_pool_programs_async(files: Sequence[str], cfg,
                     fused_select=cfg.features.fused_select).compile()
             except Exception:
                 return   # warmup is best-effort; the real call compiles
-        # also pre-compile the replay's first big attempt sweep (all four
-        # directions of scale 1, full-pair bucket) — its shapes are fully
-        # determined by (n, frame shape, config), and it otherwise
-        # serializes its compile behind the replay's first dispatch
-        try:
-            from ..core import registration as reg
-            from ..ops.features import describe as desc_mod
-            if n < 2:
-                return
-            bucket = reg.bucket_size(n - 1)
-            p_cap = freg._capacity(cfg, cfg.features.pool_keypoints)
-            k_sel = freg._capacity(cfg, cfg.features.max_keypoints)
-            sparams = freg._describe_params(cfg)
-            dim = desc_mod.descriptor_dim(sparams)
-            _, _, metric = freg._families(cfg)
-            h, w = shape
-            configs = [(cfg.direction, 1)] + [
-                (d, 1) for d in (1, 2, 3, 4) if d != cfg.direction]
-            bounds = tuple(
-                (freg._strip_bounds(d, "first", s * cfg.roi_ratio, h, w),
-                 freg._strip_bounds(d, "second", s * cfg.roi_ratio, h, w))
-                for d, s in configs)
-            f32 = jnp.float32
-            freg._pool_attempt_multi_jit.lower(
-                jax.ShapeDtypeStruct((n, p_cap), f32),
-                jax.ShapeDtypeStruct((n, p_cap), f32),
-                jax.ShapeDtypeStruct((n, p_cap), f32),
-                jax.ShapeDtypeStruct((n, p_cap, dim), f32),
-                jax.ShapeDtypeStruct((bucket,), jnp.int32),
-                bounds, k_sel, metric,
-                # weak_type: the real call passes python floats, which
-                # trace weakly typed — a strong-f32 struct would compile a
-                # cache entry the runtime call never hits
-                jax.ShapeDtypeStruct((), f32, weak_type=True),
-                jax.ShapeDtypeStruct((), f32, weak_type=True),
-                cfg.offset_calculate,
-                cfg.use_pallas and jax.default_backend() == "tpu").compile()
-        except Exception:
-            pass
 
-    return ThreadPoolExecutor(max_workers=1).submit(work)
+    import threading
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
+def _warm_replay(files, cfg, shape, n):
+    """AOT-compile the replay's first big attempt sweep (all four
+    directions of scale 1, full-pair bucket) — its shapes are fully
+    determined by (n, frame shape, config), and it otherwise serializes
+    its compile behind the replay's first dispatch."""
+    import jax
+
+    from ..core import feature_registration as freg
+
+    try:
+        from ..core import registration as reg
+        from ..ops.features import describe as desc_mod
+        if n < 2:
+            return
+        bucket = reg.bucket_size(n - 1)
+        p_cap = freg._capacity(cfg, cfg.features.pool_keypoints)
+        k_sel = freg._capacity(cfg, cfg.features.max_keypoints)
+        sparams = freg._describe_params(cfg)
+        dim = desc_mod.descriptor_dim(sparams)
+        _, _, metric = freg._families(cfg)
+        h, w = shape
+        configs = [(cfg.direction, 1)] + [
+            (d, 1) for d in (1, 2, 3, 4) if d != cfg.direction]
+        bounds = tuple(
+            (freg._strip_bounds(d, "first", s * cfg.roi_ratio, h, w),
+             freg._strip_bounds(d, "second", s * cfg.roi_ratio, h, w))
+            for d, s in configs)
+        f32 = jnp.float32
+        freg._pool_attempt_multi_jit.lower(
+            jax.ShapeDtypeStruct((n, p_cap), f32),
+            jax.ShapeDtypeStruct((n, p_cap), f32),
+            jax.ShapeDtypeStruct((n, p_cap), f32),
+            jax.ShapeDtypeStruct((n, p_cap, dim), f32),
+            jax.ShapeDtypeStruct((bucket,), jnp.int32),
+            bounds, k_sel, metric,
+            # weak_type: the real call passes python floats, which
+            # trace weakly typed — a strong-f32 struct would compile a
+            # cache entry the runtime call never hits
+            jax.ShapeDtypeStruct((), f32, weak_type=True),
+            jax.ShapeDtypeStruct((), f32, weak_type=True),
+            cfg.offset_calculate,
+            cfg.use_pallas and jax.default_backend() == "tpu").compile()
+    except Exception:
+        pass   # warmup is best-effort; the real call compiles
 
 
 def load_batch_pipelined(files: Sequence[str], color_mode: bool,
