@@ -7,10 +7,13 @@ data-parallel over a ``pairs`` mesh axis.  Two modes:
     pipeline auto-partitions (no cross-device communication; the only
     collective is the pose-graph solve's psum);
   * feature (the flagship) — frames sharded over the mesh; detection and
-    description run once per frame with zero communication, then the
-    adjacent-pair slices (``feats[:-1]`` vs ``feats[1:]``) let XLA insert
-    the one-frame halo exchange (a boundary collective-permute per shard),
-    and matching/voting run pair-parallel.
+    description run once per frame with zero communication, then an
+    EXPLICIT shard_map ``ppermute`` ships each shard's first frame's
+    selected features to its predecessor and matching/voting run on local
+    pairs with sharded outputs.  (r5: the earlier auto-sharded
+    adjacent-slice formulation compiled to full-pool all-gathers — 33-127x
+    the halo bytes; eval/hlo_validation.py caught it, and the compiled
+    collectives now match the ICI model exactly.)
 """
 from __future__ import annotations
 

@@ -7,10 +7,12 @@ Stitcher.py:306-367) — over an N-device mesh:
   * the keypoint pool (detect + describe, once per frame) is computed
     frame-sharded under ``shard_map`` — zero communication;
   * each (direction, scale) attempt evaluates ALL adjacent pairs: strip
-    masking and per-frame top-k run frame-parallel, then the
-    ``feats[:-1]`` vs ``feats[1:]`` slicing makes XLA exchange exactly one
-    frame's features per shard boundary (halo collective-permute), and
-    matching/voting run pair-parallel;
+    masking and per-frame top-k run frame-parallel, then ONE explicit
+    shard_map ``ppermute`` ships each shard's first frame's selected
+    B-side features to its predecessor (r5 — validated against compiled
+    HLO to be exactly the modeled one-frame halo; the earlier auto-sharded
+    slicing compiled to full-pool all-gathers), and matching/voting run on
+    local pairs;
   * the reference's sequential decision procedure replays unchanged on host
     scalars (core/registration._replay_incremental).
 
