@@ -317,7 +317,10 @@ def register_sequence_features_sharded(images: np.ndarray, cfg: StitchConfig,
             offset_subpix=(float(sr[k]), float(sc[k])) if okk else (0.0, 0.0),
             direction=cfg.direction if okk else 0,
             scale=0, confidence=float(nv[k]) if av[k] else 0.0, attempts=1))
-    failed = [k for k, r in enumerate(out) if not r.ok]
+    # same no-consensus skip as the single-device path: confidence 0 = the
+    # floor-zeroed vote count (zero valid match displacements — nothing for
+    # oriented descriptors to rescue)
+    failed = [k for k, r in enumerate(out) if not r.ok and r.confidence > 0.0]
     if fast and failed:
         frames = sorted({f for k in failed for f in (k, k + 1)})
         fmap = {f: i for i, f in enumerate(frames)}
