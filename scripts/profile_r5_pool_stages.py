@@ -101,7 +101,6 @@ def main():
     tf = min(_t(lambda: fence(freg._precompute_pool(gray, cfg_pool)))
              for _ in range(3))
     res["stage_full_pool_s"] = round(tf, 3)
-    res["stage_atlas_describe_s"] = round(tf - t, 3)
     print(json.dumps(res), flush=True)
 
     data = {}
