@@ -101,7 +101,11 @@ def _make_kernel(taps, tile: int, halo: int, threshold: float, border: int,
     return kernel
 
 
-_COL_TILE = 512
+# 256 measured best on v5e (r5 sweep: 8.01 / 6.95 / 7.17 ms per 5 MP frame
+# at 512 / 256 / 128): the Toeplitz column operator carries only a
+# (2r+1)-tap band, so smaller tiles cut the redundant zero-band FLOPs
+# faster than they lose MXU efficiency — until loop overhead wins at 128.
+_COL_TILE = 256
 
 
 def _band_matrices(taps, tile: int):
